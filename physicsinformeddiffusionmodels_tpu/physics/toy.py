@@ -1,0 +1,48 @@
+"""Analytic toy constraints (unit hypersphere study, Appendix F.1).
+
+Pure-function equivalents of the user-pluggable residual / inequality /
+optimization modules in the reference toy driver
+(`/root/reference/main_toy.py:51-82`), plus the toy data sampler.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from physicsinformeddiffusionmodels_tpu.diffusion.losses import PhysicsTerms
+
+
+def hypersphere_residual(x: jax.Array) -> jax.Array:
+    """sum(x^2) - 1 per sample (`main_toy.py:51-56`)."""
+    return jnp.sum(x**2, axis=1) - 1.0
+
+
+def density_inequality(x: jax.Array, threshold: float = 1.0, mode: str = "leq") -> jax.Array:
+    """relu(sum|x| - threshold) (or mirrored) per sample (`main_toy.py:58-71`)."""
+    density = jnp.sum(jnp.abs(x), axis=1)
+    shift = density - threshold
+    return jax.nn.relu(shift if mode == "leq" else -shift)
+
+
+def first_coordinate_objective(x: jax.Array) -> jax.Array:
+    """x[:, 0] — minimised via the exponential log-likelihood term
+    (`main_toy.py:73-78`)."""
+    return x[:, 0]
+
+
+def toy_physics(x0_pred: jax.Array, threshold: float = 1.0) -> PhysicsTerms:
+    """Bundle all three toy terms for ``pidm_loss``."""
+    return PhysicsTerms(
+        residual=hypersphere_residual(x0_pred),
+        inequality=density_inequality(x0_pred, threshold),
+        optimizer=first_coordinate_objective(x0_pred),
+    )
+
+
+def sample_hypersphere(rng: np.random.Generator, size: int, dim: int = 2) -> np.ndarray:
+    """Uniform points on the unit hypersphere surface
+    (`denoising_utils.py:106-111`)."""
+    x = rng.normal(0.0, 1.0, (size, dim))
+    return x / np.linalg.norm(x, axis=1, keepdims=True)

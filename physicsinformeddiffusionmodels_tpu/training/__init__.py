@@ -1,0 +1,25 @@
+"""Training loop components: optimizer, train step, checkpointing, metrics."""
+
+from physicsinformeddiffusionmodels_tpu.training.trainer import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from physicsinformeddiffusionmodels_tpu.training.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from physicsinformeddiffusionmodels_tpu.training.metrics import MetricsLogger
+
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "make_optimizer",
+    "make_train_step",
+    "latest_checkpoint",
+    "load_checkpoint",
+    "save_checkpoint",
+    "MetricsLogger",
+]
