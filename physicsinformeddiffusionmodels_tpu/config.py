@@ -1,0 +1,112 @@
+"""Run configuration.
+
+Single dataclass capturing BOTH the reference's `model.yaml` keys
+(`/root/reference/model.yaml:1-13`) and the per-study constants hard-coded in
+its driver (`main.py:48-109`): batch sizes, iteration budgets, eval
+frequencies, model dims. Serialized with every checkpoint.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional
+
+
+@dataclasses.dataclass
+class RunConfig:
+    # --- model.yaml keys ---
+    c_data: float = 1.0
+    c_residual: float = 1e-3
+    c_ineq: float = 0.0
+    lambda_opt: float = 0.0
+    diff_steps: int = 100
+    x0_estimation: str = "mean"  # 'mean' | 'sample'
+    ddim_steps: int = 0
+    residual_grad_guidance: bool = False
+    correction_mode: str = "none"  # 'x0' | 'xt' | 'none'
+    M_correction: int = 0
+    N_correction: int = 0
+    gov_eqs: str = "darcy"  # 'darcy' | 'mechanics'
+    fd_acc: int = 2  # must match the training data
+
+    # --- study constants (main.py:48-109) ---
+    name: str = "run_1"
+    pixels_per_dim: int = 64
+    pixels_at_boundary: bool = True
+    domain_length: float = 1.0
+    reverse_d1: bool = True
+    bcs: str = "none"  # 'none' | 'periodic'
+    train_iterations: int = 300_000
+    train_batch_size: Optional[int] = None  # default depends on study/estimation
+    lr: float = 1e-4
+    grad_clip: float = 1.0
+    ema_decay: float = 0.99
+    ema_start: int = 1000
+    test_eval_freq: int = 500
+    sample_freq: int = 20_000
+    log_freq: int = 20
+    no_samples: int = 8
+    seed: int = 0
+    use_double: bool = False
+    use_dynamic_threshold: bool = False
+    self_condition: bool = False
+    topopt_eval: bool = True
+    guidance_scale: float = 3.0
+    null_cond_prob: float = 0.1
+
+    # --- model dims (main.py:122-128) ---
+    unet_dim: Optional[int] = None  # darcy 32, mechanics 128
+    # --- data paths ---
+    data_dir: str = "./data/darcy/train"
+    valid_data_dir: str = "./data/darcy/valid"
+    output_dir: str = "./trained_models"
+    # --- parallelism ---
+    mesh_dp: Optional[int] = None  # default: all devices
+    mesh_tp: int = 1
+    # --- compute dtype ('float32' | 'bfloat16' for model compute) ---
+    compute_dtype: str = "float32"
+
+    def __post_init__(self):
+        use_ddim = self.x0_estimation == "sample"
+        if self.train_batch_size is None:
+            if self.gov_eqs == "darcy":
+                self.train_batch_size = 16 if use_ddim else 64
+            else:
+                self.train_batch_size = 4 if use_ddim else 6
+        if self.unet_dim is None:
+            self.unet_dim = 32 if self.gov_eqs == "darcy" else 128
+        if self.gov_eqs == "mechanics" and self.train_iterations == 300_000:
+            self.train_iterations = 600_000
+
+    @property
+    def use_ddim_x0(self) -> bool:
+        return self.x0_estimation == "sample"
+
+    @property
+    def output_channels(self) -> int:
+        return 2 if self.gov_eqs == "darcy" else 3
+
+    @property
+    def model_channels(self) -> int:
+        # mechanics model sees 3 noisy fields + 3 conditioning + 4 BC/load
+        return 2 if self.gov_eqs == "darcy" else 10
+
+    @property
+    def sigmoid_last_channel(self) -> bool:
+        return self.gov_eqs == "mechanics"
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "RunConfig":
+        return cls(**json.loads(text))
+
+    def save(self, path):
+        Path(path).write_text(self.to_json())
+
+    @classmethod
+    def load(cls, path) -> "RunConfig":
+        return cls.from_json(Path(path).read_text())

@@ -1,0 +1,536 @@
+"""Attention U-Net denoiser (Flax, NHWC, TPU-native).
+
+Re-design of the reference's video-style ``Unet3D``
+(`/root/reference/src/unet_model.py:406-622`), which runs 2D fields through
+Conv3d kernels with a vestigial frame axis of length 1. Here the network is
+2D-native (NHWC — the TPU conv layout; all convs map onto the MXU), with the
+frame axis kept as an *optional* capability: inputs may be [B, H, W, C] or
+[B, F, H, W, C]; frame attention (RoPE + T5 relative position bias, matching
+`unet_model.py:439-444`) is applied whenever F > 1 and reduces to an exact
+per-token linear map at F == 1 (attention over a single key is the identity
+softmax), which we exploit instead of paying a degenerate attention.
+
+Capability map (reference -> here):
+  init Conv3d k=(1,7,7)                 -> init Conv 7x7           (:453)
+  init/mid temporal attention           -> FrameAttention          (:457,500)
+  per level: 2x time-FiLM ResnetBlock,
+     SpatialLinearAttention residual,
+     Downsample k=(1,4,4) s=(1,2,2)     -> same, 2D               (:484-492)
+  mid: block/spatial full attn/block    -> same                    (:494-502)
+  symmetric up path w/ skip concat,
+     Upsample = ConvTranspose k4 s2     -> same                    (:504-512)
+  final block + 1x1 conv                -> same                    (:514-518)
+  time: SinusoidalPosEmb->MLP (4*dim)   -> same                    (:464-469)
+  circular padding variants             -> padding_mode='circular' (:171-199)
+  sigmoid on last channel               -> sigmoid_last_channel    (:619-621)
+  gradient-cond channel + CFG           -> cond/null_cond_prob +
+                                           apply_with_guidance     (:521-540)
+  self-conditioning plumbing            -> self_condition          (:428,564-566)
+  SignalEmbedding (CNN/GRU ablation)    -> models.blocks.SignalEmbedding
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+# --------------------------------------------------------------------------
+# small modules
+# --------------------------------------------------------------------------
+
+
+class SinusoidalPosEmb(nn.Module):
+    """Standard transformer sinusoidal timestep embedding
+    (`unet_model.py:147-159`)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, t):
+        half = self.dim // 2
+        freqs = jnp.exp(jnp.arange(half) * (-math.log(10000.0) / (half - 1)))
+        args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+        return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class ChannelLayerNorm(nn.Module):
+    """Channel-only LayerNorm with scale, no bias, biased variance
+    (`unet_model.py:201-210`)."""
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        var = jnp.var(x, axis=-1, keepdims=True)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
+        return (x - mean) / jnp.sqrt(var + self.eps) * gamma
+
+
+def _pad2d(x, pad: int, mode: str):
+    """Spatial padding on the (H, W) axes of an NHWC (or NFHWC) tensor."""
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * (x.ndim - 3) + [(pad, pad), (pad, pad), (0, 0)]
+    return jnp.pad(x, cfg, mode="wrap" if mode == "circular" else "constant")
+
+
+class Conv2dPadded(nn.Module):
+    """Conv with explicit zero/circular spatial padding (torch-style
+    ``padding_mode``, `unet_model.py:195-199,226-229`)."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    pad: int = 0
+    padding_mode: str = "zeros"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = _pad2d(x, self.pad, self.padding_mode)
+        return nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="VALID",
+            dtype=self.dtype,
+        )(x)
+
+
+class Downsample(nn.Module):
+    """k=4 s=2 p=1 strided conv (`unet_model.py:195-199`)."""
+
+    dim: int
+    padding_mode: str = "zeros"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return Conv2dPadded(self.dim, 4, 2, 1, self.padding_mode, self.dtype)(x)
+
+
+class Upsample(nn.Module):
+    """ConvTranspose k=4 s=2 p=1 (doubles resolution, `unet_model.py:161-193`).
+    Circular mode pre-pads circularly and crops, reproducing the reference's
+    CircularUpsample trick."""
+
+    dim: int
+    padding_mode: str = "zeros"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.padding_mode == "circular":
+            x = _pad2d(x, 1, "circular")
+            y = nn.ConvTranspose(
+                self.dim, (4, 4), strides=(2, 2), padding="VALID", dtype=self.dtype
+            )(x)
+            # VALID transpose output: (n+2-1)*2 + 4 - 2*... -> crop 3 per side
+            crop = (y.shape[-3] - 2 * (x.shape[-3] - 2)) // 2
+            return y[..., crop:-crop, crop:-crop, :]
+        # 'SAME' with stride 2 doubles resolution — identical geometry to
+        # torch ConvTranspose2d(k=4, s=2, p=1) for even sizes.
+        return nn.ConvTranspose(
+            self.dim, (4, 4), strides=(2, 2), padding="SAME", dtype=self.dtype
+        )(x)
+
+
+class Block(nn.Module):
+    """conv3x3 -> GroupNorm -> (FiLM scale-shift) -> SiLU
+    (`unet_model.py:223-241`)."""
+
+    dim_out: int
+    groups: int = 8
+    padding_mode: str = "zeros"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, scale_shift=None):
+        x = Conv2dPadded(self.dim_out, 3, 1, 1, self.padding_mode, self.dtype)(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale + 1.0) + shift
+        return nn.silu(x)
+
+
+class ResnetBlock(nn.Module):
+    """Two FiLM-conditioned blocks + 1x1 residual conv
+    (`unet_model.py:243-267`)."""
+
+    dim_out: int
+    groups: int = 8
+    padding_mode: str = "zeros"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, time_emb=None):
+        scale_shift = None
+        if time_emb is not None:
+            emb = nn.Dense(self.dim_out * 2, dtype=self.dtype)(nn.silu(time_emb))
+            emb = emb[:, *((None,) * (x.ndim - 2)), :]
+            scale_shift = jnp.split(emb, 2, axis=-1)
+        h = Block(self.dim_out, self.groups, self.padding_mode, self.dtype)(
+            x, scale_shift
+        )
+        h = Block(self.dim_out, self.groups, self.padding_mode, self.dtype)(h)
+        res = (
+            x
+            if x.shape[-1] == self.dim_out
+            else nn.Conv(self.dim_out, (1, 1), dtype=self.dtype)(x)
+        )
+        return h + res
+
+
+class SpatialLinearAttention(nn.Module):
+    """Efficient linear attention over the pixel grid
+    (`unet_model.py:269-299`): q softmaxed over channels, k over tokens,
+    context = k v^T — O(N d^2) instead of O(N^2 d)."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 32
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        *lead, h, w, c = x.shape
+        n = h * w
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        qkv = qkv.reshape(*lead, n, 3, self.heads, self.dim_head)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        # [..., n, heads, d]
+        q = jax.nn.softmax(q, axis=-1) * self.dim_head**-0.5
+        k = jax.nn.softmax(k, axis=-3)
+        v = v / n
+        context = jnp.einsum("...nhd,...nhe->...hde", k, v)
+        out = jnp.einsum("...hde,...nhd->...nhe", context, q)
+        out = out.reshape(*lead, h, w, hidden)
+        return nn.Conv(self.dim, (1, 1), dtype=self.dtype)(out)
+
+
+def _rope_rotate(x, positions, dim_head):
+    """Rotary position embedding on the last dim (rotate_half convention,
+    equivalent of rotary_embedding_torch used at `unet_model.py:439-442`)."""
+    half = dim_head // 2
+    freqs = 1.0 / (10000.0 ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    angles = positions[:, None] * freqs[None, :]  # [n, half]
+    cos = jnp.cos(angles)
+    sin = jnp.sin(angles)
+    x1, x2 = x[..., :half], x[..., half : 2 * half]
+    rot = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    if dim_head > 2 * half:
+        rot = jnp.concatenate([rot, x[..., 2 * half :]], axis=-1)
+    return rot
+
+
+class RelativePositionBias(nn.Module):
+    """T5-bucketed relative position bias (`unet_model.py:78-116`)."""
+
+    heads: int = 8
+    num_buckets: int = 32
+    max_distance: int = 128
+
+    @nn.compact
+    def __call__(self, n):
+        q_pos = jnp.arange(n)
+        rel = q_pos[None, :] - q_pos[:, None]
+        neg = -rel
+        nb = self.num_buckets // 2
+        ret = (neg < 0).astype(jnp.int32) * nb
+        num = jnp.abs(neg)
+        max_exact = nb // 2
+        is_small = num < max_exact
+        val_large = max_exact + (
+            jnp.log(num.astype(jnp.float32) / max_exact + 1e-9)
+            / math.log(self.max_distance / max_exact)
+            * (nb - max_exact)
+        ).astype(jnp.int32)
+        val_large = jnp.minimum(val_large, nb - 1)
+        buckets = ret + jnp.where(is_small, num, val_large)
+        table = nn.Embed(self.num_buckets, self.heads)(buckets)  # [n, n, heads]
+        return jnp.transpose(table, (2, 0, 1))  # [heads, n, n]
+
+
+class Attention(nn.Module):
+    """Full multi-head attention over the last token axis with optional RoPE
+    and additive position bias (`unet_model.py:317-367`)."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 32
+    use_rope: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, pos_bias=None):
+        *lead, n, c = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype)(x)
+        qkv = qkv.reshape(*lead, n, 3, self.heads, self.dim_head)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        q = jnp.swapaxes(q, -2, -3)  # [..., heads, n, d]
+        k = jnp.swapaxes(k, -2, -3)
+        v = jnp.swapaxes(v, -2, -3)
+        if self.use_rope:
+            pos = jnp.arange(n, dtype=jnp.float32)
+            q = _rope_rotate(q, pos, self.dim_head)
+            k = _rope_rotate(k, pos, self.dim_head)
+        q = q * self.dim_head**-0.5
+        sim = jnp.einsum("...hid,...hjd->...hij", q, k)
+        if pos_bias is not None:
+            sim = sim + pos_bias
+        sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("...hij,...hjd->...hid", attn, v)
+        out = jnp.swapaxes(out, -2, -3).reshape(*lead, n, hidden)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype)(out)
+
+
+class PreNormResidual(nn.Module):
+    """x + fn(LayerNorm(x)) (`unet_model.py:139-145,212-220`)."""
+
+    dim: int
+    fn: nn.Module
+
+    @nn.compact
+    def __call__(self, x, **kwargs):
+        return self.fn(ChannelLayerNorm(self.dim)(x), **kwargs) + x
+
+
+class FrameAttention(nn.Module):
+    """Attention along the frame axis of [B, F, H, W, C] (the reference's
+    temporal attention, `unet_model.py:442,457,500`), with RoPE + relative
+    position bias. At F == 1 attention over a single key is exact identity
+    softmax, so it reduces to to_out(v) — computed directly, skipping the
+    degenerate quadratic path."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 32
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, F, H, W, C] -> tokens along F per pixel
+        B, F, H, W, C = x.shape
+        tokens = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(B, H * W, F, C)
+        if F == 1:
+            # softmax over one key is 1 -> attention output == to_out(v);
+            # RoPE at position 0 and the single-bucket bias are identities.
+            hidden = self.heads * self.dim_head
+            qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")
+            out_proj = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")
+            v = qkv(tokens)[..., 2 * hidden :]
+            out = out_proj(v)
+        else:
+            bias = RelativePositionBias(heads=self.heads, max_distance=32)(F)
+            out = Attention(
+                self.dim, self.heads, self.dim_head, use_rope=True, dtype=self.dtype,
+            )(tokens, pos_bias=bias)
+        out = out.reshape(B, H, W, F, self.dim).transpose(0, 3, 1, 2, 4)
+        return out
+
+
+# --------------------------------------------------------------------------
+# U-Net
+# --------------------------------------------------------------------------
+
+
+class UNet(nn.Module):
+    """Physics-informed diffusion denoiser U-Net.
+
+    Configurations used by the studies (reference `main.py:122-128`):
+      Darcy:     UNet(dim=32, channels=2)
+      Mechanics: UNet(dim=128, channels=10, out_dim=3, sigmoid_last_channel=True)
+    """
+
+    dim: int
+    channels: int = 2
+    out_dim: Optional[int] = None
+    dim_mults: Sequence[int] = (1, 2, 4, 8)
+    attn_heads: int = 8
+    attn_dim_head: int = 32
+    init_dim: Optional[int] = None
+    init_kernel_size: int = 7
+    use_sparse_linear_attn: bool = True
+    resnet_groups: int = 8
+    padding_mode: str = "zeros"
+    sigmoid_last_channel: bool = False
+    self_condition: bool = False
+    frame_attention: bool = True
+    cond_path: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    def _maybe_frame(self, fn, x, has_frames):
+        """Apply a frame-axis module; no-op path handled inside FrameAttention."""
+        if not self.frame_attention:
+            return x
+        if not has_frames:
+            x5 = x[:, None]  # [B, 1, H, W, C]
+            return fn(x5)[:, 0]
+        return fn(x)
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        time,
+        x_self_cond=None,
+        cond=None,
+        null_cond_prob: float = 0.0,
+        *,
+        rng=None,
+    ):
+        """Args mirror the reference forward (`unet_model.py:542-622`).
+
+        x: [B, H, W, C] (or [B, F, H, W, C]); time: [B] int timesteps;
+        cond: optional [B, H, W, C] residual-gradient conditioning image —
+        masked to zero per-sample with probability ``null_cond_prob``
+        (classifier-free guidance training; needs ``rng`` when 0 < p < 1).
+        """
+        has_frames = x.ndim == 5
+        squeeze_frames = False
+        if has_frames and x.shape[1] == 1:
+            x = x[:, 0]
+            has_frames = False
+            squeeze_frames = True
+        B = x.shape[0]
+        time = jnp.broadcast_to(jnp.atleast_1d(time), (B,))
+
+        if self.self_condition:
+            if x_self_cond is None:
+                x_self_cond = jnp.zeros_like(x)
+            x = jnp.concatenate([x_self_cond, x], axis=-1)
+
+        init_dim = self.init_dim or self.dim
+        pad = self.init_kernel_size // 2
+        x = Conv2dPadded(
+            init_dim, self.init_kernel_size, 1, pad, self.padding_mode, self.dtype,
+            name="init_conv",
+        )(x)
+
+        if self.frame_attention:
+            frame_attn_init = PreNormResidual(
+                init_dim,
+                FrameAttention(init_dim, self.attn_heads, self.attn_dim_head, self.dtype),
+                name="init_frame_attn",
+            )
+            x = self._maybe_frame(frame_attn_init, x, has_frames)
+
+        # gradient conditioning channel for residual-grad guidance
+        # (`unet_model.py:521-526,571-587`). The modules are created
+        # unconditionally (like the reference's always-constructed
+        # emb_conv/combine_conv) so checkpoints are interchangeable between
+        # conditioned and unconditioned use; with cond=None the branch is
+        # dead code XLA removes.
+        if self.cond_path:
+            cond_in = cond if cond is not None else jnp.zeros((*x.shape[:-1], self.channels), x.dtype)
+            if cond is not None:
+                if null_cond_prob >= 1.0:
+                    cond_in = jnp.zeros_like(cond_in)
+                elif null_cond_prob > 0.0:
+                    if rng is None:
+                        rng = self.make_rng("cond_mask")
+                    mask = jax.random.uniform(rng, (B,)) < null_cond_prob
+                    cond_in = jnp.where(mask[:, None, None, None], 0.0, cond_in)
+            emb = nn.Conv(init_dim, (1, 1), dtype=self.dtype, name="emb_conv_0")(cond_in)
+            emb = nn.gelu(emb)
+            emb = Conv2dPadded(init_dim, 3, 1, 1, "zeros", self.dtype, name="emb_conv_1")(emb)
+            combined = nn.Conv(init_dim, (1, 1), dtype=self.dtype, name="combine_conv")(
+                jnp.concatenate([x, emb], axis=-1)
+            )
+            if cond is not None:
+                x = combined
+
+        r = x
+        time_dim = self.dim * 4
+        t = SinusoidalPosEmb(self.dim, name="time_pos_emb")(time)
+        t = nn.Dense(time_dim, dtype=self.dtype, name="time_mlp_0")(t)
+        t = nn.gelu(t)
+        t = nn.Dense(time_dim, dtype=self.dtype, name="time_mlp_1")(t)
+
+        dims = [init_dim] + [self.dim * m for m in self.dim_mults]
+        in_out = list(zip(dims[:-1], dims[1:]))
+        num_res = len(in_out)
+
+        hs = []
+        for ind, (_, dim_out) in enumerate(in_out):
+            is_last = ind >= num_res - 1
+            x = ResnetBlock(dim_out, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
+            x = ResnetBlock(dim_out, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
+            if self.use_sparse_linear_attn:
+                x = PreNormResidual(
+                    dim_out,
+                    SpatialLinearAttention(dim_out, self.attn_heads, self.attn_dim_head, self.dtype),
+                )(x)
+            hs.append(x)
+            if not is_last:
+                x = Downsample(dim_out, self.padding_mode, self.dtype)(x)
+
+        mid_dim = dims[-1]
+        x = ResnetBlock(mid_dim, self.resnet_groups, self.padding_mode, self.dtype, name="mid_block1")(x, t)
+
+        # full spatial attention over the bottleneck tokens (`unet_model.py:497-499`)
+        h_mid, w_mid = x.shape[-3:-1]
+        tokens = x.reshape(*x.shape[:-3], h_mid * w_mid, mid_dim)
+        tokens = PreNormResidual(
+            mid_dim,
+            Attention(mid_dim, self.attn_heads, self.attn_dim_head, dtype=self.dtype),
+            name="mid_spatial_attn",
+        )(tokens)
+        x = tokens.reshape(*tokens.shape[:-2], h_mid, w_mid, mid_dim)
+
+        if self.frame_attention:
+            mid_frame_attn = PreNormResidual(
+                mid_dim,
+                FrameAttention(mid_dim, self.attn_heads, self.attn_dim_head, self.dtype),
+                name="mid_frame_attn",
+            )
+            x = self._maybe_frame(mid_frame_attn, x, has_frames)
+
+        x = ResnetBlock(mid_dim, self.resnet_groups, self.padding_mode, self.dtype, name="mid_block2")(x, t)
+
+        for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
+            is_last = ind >= num_res - 1
+            x = jnp.concatenate([x, hs.pop()], axis=-1)
+            x = ResnetBlock(dim_in, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
+            x = ResnetBlock(dim_in, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
+            if self.use_sparse_linear_attn:
+                x = PreNormResidual(
+                    dim_in,
+                    SpatialLinearAttention(dim_in, self.attn_heads, self.attn_dim_head, self.dtype),
+                )(x)
+            if not is_last:
+                x = Upsample(dim_in, self.padding_mode, self.dtype)(x)
+
+        x = jnp.concatenate([x, r], axis=-1)
+        x = ResnetBlock(self.dim, self.resnet_groups, self.padding_mode, self.dtype, name="final_block")(x)
+        out_dim = self.out_dim or self.channels
+        x = nn.Conv(out_dim, (1, 1), dtype=self.dtype, name="final_conv")(x)
+
+        if self.sigmoid_last_channel:
+            # force the density/E-field channel into [0,1] (`unet_model.py:619-621`)
+            x = jnp.concatenate([x[..., :-1], jax.nn.sigmoid(x[..., -1:])], axis=-1)
+
+        if squeeze_frames:
+            x = x[:, None]
+        return x
+
+
+def apply_with_guidance(model: UNet, params, x, time, cond, guidance_scale: float = 3.0):
+    """Two-pass classifier-free guidance
+    (`unet_model.py:530-540`): null + scale * (cond - null)."""
+    logits = model.apply(params, x, time, cond=cond, null_cond_prob=0.0)
+    if guidance_scale == 1.0:
+        return logits
+    null_logits = model.apply(params, x, time, cond=cond, null_cond_prob=1.0)
+    return null_logits + (logits - null_logits) * guidance_scale

@@ -1,0 +1,279 @@
+"""Linear-elasticity FEM residual for the topology-optimization study.
+
+Re-design of the reference's ``ResidualsMechanics`` + ``StiffnessMatrix``
+(`/root/reference/src/residuals_mechanics_K.py`). The reference assembles a
+dense batched global stiffness [B, neq, neq] via index_put(accumulate=True)
+(`residuals_mechanics_K.py:208-218`, ~286 MB/sample at fp32) to form
+r = K(rho) u - f. That dense matrix is never needed for the residual: here
+
+    (K u)_q = sum_e rho_e (k_loc u_e)_q
+
+is computed matrix-free with a gather of element displacements, one
+[8,8] x [B, nels, 8] einsum (MXU) and a scatter-add back to the neq global
+dofs — O(B * nels * 64) instead of O(B * neq^2) memory. Dirichlet handling
+reproduces the reference's row-masking semantics
+(`residuals_mechanics_K.py:226-238`): masked rows become identity rows with
+zeroed loads, i.e. r_i = u_i there. Compliance u^T K_bc u
+(`:257-261`) is the dot of u with the same masked product. The dense matrix
+is materialized only inside the no-grad topopt evaluation for the per-sample
+linear solve (`:329-332`).
+
+The element stiffness is the standard isoparametric quad4 (2x2 Gauss,
+plane-stress constitutive, E=1, nu=0.3) — the fixed 8x8 the reference pulls
+from solidspy's ``elast_quad4`` (`residuals_mechanics_K.py:29-33,99-103`) —
+precomputed once on host.
+
+Grid convention (matches the reference's solidspy mesh files, which map the
+image row-major onto node ids, `residuals_mechanics_K.py:82-97`):
+node (i, j) of the (P+1)x(P+1) node image has id n = i*(P+1)+j and dofs
+(2n, 2n+1) = (x, y); element (a, b) connects nodes
+[(a,b), (a,b+1), (a+1,b+1), (a+1,b)] (counter-clockwise with x=j, y=i),
+with unit element side (domain length = P, `sample.py:80`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from physicsinformeddiffusionmodels_tpu.diffusion.losses import PhysicsTerms
+from physicsinformeddiffusionmodels_tpu.ops.reshape import resize_bilinear
+
+
+def quad4_stiffness(E: float = 1.0, nu: float = 0.3, side: float = 1.0) -> np.ndarray:
+    """8x8 element stiffness of a square quad4, plane stress, 2x2 Gauss
+    (solidspy ``elast_quad4`` equivalent). DOF order
+    [u1x,u1y,u2x,u2y,u3x,u3y,u4x,u4y], nodes counter-clockwise."""
+    C = E / (1 - nu**2) * np.array(
+        [[1.0, nu, 0.0], [nu, 1.0, 0.0], [0.0, 0.0, (1 - nu) / 2]]
+    )
+    # nodes of the parent element, CCW
+    corners = np.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]])
+    coords = corners * side / 2.0
+    gp = np.array([-1.0, 1.0]) / np.sqrt(3.0)
+    K = np.zeros((8, 8))
+    for xi in gp:
+        for eta in gp:
+            dN = 0.25 * np.array(
+                [
+                    [-(1 - eta), (1 - eta), (1 + eta), -(1 + eta)],
+                    [-(1 - xi), -(1 + xi), (1 + xi), (1 - xi)],
+                ]
+            )  # [2, 4] d/d(xi,eta)
+            J = dN @ coords  # [2, 2]
+            dNdx = np.linalg.solve(J, dN)  # [2, 4]
+            B = np.zeros((3, 8))
+            B[0, 0::2] = dNdx[0]
+            B[1, 1::2] = dNdx[1]
+            B[2, 0::2] = dNdx[1]
+            B[2, 1::2] = dNdx[0]
+            K += B.T @ C @ B * np.linalg.det(J)
+    return K
+
+
+def grid_topology(nels_per_side: int) -> dict:
+    """Element -> global-dof connectivity for the structured quad grid."""
+    P = nels_per_side
+    nn = P + 1
+    a, b = np.meshgrid(np.arange(P), np.arange(P), indexing="ij")
+    n1 = a * nn + b
+    n2 = a * nn + (b + 1)
+    n3 = (a + 1) * nn + (b + 1)
+    n4 = (a + 1) * nn + b
+    nodes = np.stack([n1, n2, n3, n4], axis=-1).reshape(-1, 4)  # [nels, 4]
+    dofs = np.stack([nodes * 2, nodes * 2 + 1], axis=-1).reshape(-1, 8)  # [nels, 8]
+    return dict(nels=P * P, nn=nn, neq=2 * nn * nn, elem_dofs=dofs.astype(np.int32))
+
+
+def image_to_dof_vector(img: jax.Array, dof: int) -> jax.Array:
+    """[B, nn, nn] nodal image -> [B, neq] with entries at (2n + dof)
+    (`residuals_mechanics_K.py:82-87`)."""
+    B, nn, _ = img.shape
+    out = jnp.zeros((B, nn * nn, 2), img.dtype)
+    out = out.at[:, :, dof].set(img.reshape(B, nn * nn))
+    return out.reshape(B, 2 * nn * nn)
+
+
+def dof_vector_to_image(vec: jax.Array, dof: int) -> jax.Array:
+    """[B, neq] -> [B, nn, nn] nodal image of one dof
+    (`residuals_mechanics_K.py:89-97`)."""
+    B = vec.shape[0]
+    nn = int(np.sqrt(vec.shape[1] // 2))
+    return vec.reshape(B, nn, nn, 2)[..., dof]
+
+
+class MechanicsBatch(NamedTuple):
+    """Split of the 10-channel NHWC (65x65) dataset tensor
+    (channel order `data_utils.py:118`)."""
+
+    conditioning: jax.Array  # [B,nn,nn,3] vf, strain_energy_density, von_mises
+    solution: jax.Array  # [B,nn,nn,3] disp_x, disp_y, E_field(rho)
+    bcs: jax.Array  # [B,nn,nn,4] BC_node_x, BC_node_y, load_x, load_y
+
+
+def split_mechanics_batch(batch: jax.Array) -> MechanicsBatch:
+    return MechanicsBatch(
+        conditioning=batch[..., 0:3], solution=batch[..., 3:6], bcs=batch[..., 6:10]
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class MechanicsResidual:
+    """FEM equilibrium residual r = K(rho) u - f with BC row-masking,
+    compliance objective and volume-fraction constraint."""
+
+    pixels_per_dim: int = 64  # elements per side; nodes are +1
+    E: float = 1.0
+    nu: float = 0.3
+
+    def __post_init__(self):
+        topo = grid_topology(self.pixels_per_dim)
+        object.__setattr__(self, "nels", topo["nels"])
+        object.__setattr__(self, "nn", topo["nn"])
+        object.__setattr__(self, "neq", topo["neq"])
+        object.__setattr__(self, "elem_dofs", jnp.asarray(topo["elem_dofs"]))
+        object.__setattr__(
+            self, "k_loc", jnp.asarray(quad4_stiffness(self.E, self.nu), jnp.float32)
+        )
+
+    @property
+    def gov_eqs(self) -> str:
+        return "mechanics"
+
+    # ------------------------------------------------------------- assembly
+
+    def _bc_data(self, bcs: jax.Array):
+        """Global load vector + Dirichlet mask from the 4 BC/load channels
+        (`residuals_mechanics_K.py:219-238`)."""
+        bc_x, bc_y, load_x, load_y = [bcs[..., i] for i in range(4)]
+        f = image_to_dof_vector(load_x, 0) + image_to_dof_vector(load_y, 1)
+        bc = image_to_dof_vector(bc_x, 0) + image_to_dof_vector(bc_y, 1)
+        mask = bc != 0
+        f = jnp.where(mask, 0.0, f)
+        return f, mask
+
+    def _Ku(self, rho_e: jax.Array, u: jax.Array) -> jax.Array:
+        """(K(rho) u) without BC masking, matrix-free.
+
+        rho_e: [B, nels] element densities; u: [B, neq].
+        """
+        u_e = u[:, self.elem_dofs]  # [B, nels, 8]
+        ku_e = jnp.einsum("pq,beq->bep", self.k_loc, u_e) * rho_e[..., None]
+        B = u.shape[0]
+        flat_idx = jnp.broadcast_to(
+            self.elem_dofs.reshape(1, -1), (B, self.nels * 8)
+        )
+        out = jnp.zeros((B, self.neq), u.dtype)
+        return out.at[jnp.arange(B)[:, None], flat_idx].add(ku_e.reshape(B, -1))
+
+    def assemble_dense(self, rho_e: jax.Array, mask: jax.Array) -> jax.Array:
+        """Dense BC-masked global stiffness [B, neq, neq] — eval-only
+        (the reference uses this on the hot path too,
+        `residuals_mechanics_K.py:208-238`; here it exists solely for the
+        topopt linear solve)."""
+        B = rho_e.shape[0]
+        rows = self.elem_dofs[:, :, None].repeat(8, axis=2).reshape(-1)
+        cols = self.elem_dofs[:, None, :].repeat(8, axis=1).reshape(-1)
+        vals = (rho_e[:, :, None, None] * self.k_loc[None, None]).reshape(B, -1)
+        K = jnp.zeros((B, self.neq, self.neq), rho_e.dtype)
+        K = K.at[:, rows, cols].add(vals)
+        K = jnp.where(mask[:, :, None], 0.0, K)
+        eye = jnp.eye(self.neq, dtype=rho_e.dtype)
+        return K + mask[:, :, None] * eye[None]
+
+    # ------------------------------------------------------------- residual
+
+    def displacements_to_dofs(self, disp: jax.Array) -> jax.Array:
+        """[B, nn, nn, 2] displacement image -> [B, neq]."""
+        return image_to_dof_vector(disp[..., 0], 0) + image_to_dof_vector(disp[..., 1], 1)
+
+    def residual_from_fields(
+        self, disp_nodes: jax.Array, rho_e: jax.Array, bcs: jax.Array
+    ):
+        """r = K_bc(rho) u - f_bc. disp_nodes [B,nn,nn,2] nodal displacements,
+        rho_e [B, nels], bcs [B,nn,nn,4]. Returns (residual [B,neq],
+        u [B,neq], f [B,neq], mask [B,neq])."""
+        u = self.displacements_to_dofs(disp_nodes)
+        f, mask = self._bc_data(bcs)
+        ku = self._Ku(rho_e, u)
+        ku_bc = jnp.where(mask, u, ku)
+        return ku_bc - f, u, f, mask
+
+    def compliance(self, u: jax.Array, rho_e: jax.Array, mask: jax.Array) -> jax.Array:
+        """u^T K_bc u per sample (`residuals_mechanics_K.py:257-261`)."""
+        ku_bc = jnp.where(mask, u, self._Ku(rho_e, u))
+        return jnp.einsum("bi,bi->b", u, ku_bc)
+
+    def evaluate(self, x0_pred: jax.Array, bcs: jax.Array, vf: jax.Array) -> PhysicsTerms:
+        """Physics terms from a model x0 prediction.
+
+        x0_pred: [B, P, P, 3] NHWC at 64x64 — (disp_x, disp_y, rho).
+        bcs:     [B, nn, nn, 4] at 65x65 (raw dataset resolution).
+        vf:      [B] target volume fractions.
+
+        Displacements are regridded 64 -> 65 nodes bilinearly
+        (`residuals_mechanics_K.py:203`); rho lives on the 64x64 elements.
+        """
+        disp = resize_bilinear(x0_pred[..., :2], self.nn)
+        rho_e = x0_pred[..., 2].reshape(x0_pred.shape[0], -1)
+        residual, u, f, mask = self.residual_from_fields(disp, rho_e, bcs)
+        comp = self.compliance(u, rho_e, mask)
+        # volume mismatch used as an equality constraint
+        # (`residuals_mechanics_K.py:263-274`)
+        ineq = rho_e.mean(axis=1) - vf
+        return PhysicsTerms(residual=residual, inequality=ineq, optimizer=comp)
+
+    def model_out_to_nodes(self, x0_pred: jax.Array) -> jax.Array:
+        """Model output (64x64) -> dataset layout (65x65): displacements
+        upsampled, rho zero-padded bottom/right
+        (`residuals_mechanics_K.py:245-255`)."""
+        disp = resize_bilinear(x0_pred[..., :2], self.nn)
+        rho = jnp.pad(x0_pred[..., 2], ((0, 0), (0, 1), (0, 1)))
+        return jnp.concatenate([disp, rho[..., None]], axis=-1)
+
+    # ------------------------------------------------------------ topopt eval
+
+    def solve(self, rho_e: jax.Array, bcs: jax.Array) -> jax.Array:
+        """Dense FEM solve K_bc(rho) u = f per sample (eval-only,
+        `residuals_mechanics_K.py:329-332`)."""
+        f, mask = self._bc_data(bcs)
+        K = self.assemble_dense(rho_e, mask)
+        return jnp.linalg.solve(K, f[..., None])[..., 0]
+
+    def topopt_eval(self, x0_pred: jax.Array, batch: MechanicsBatch):
+        """Post-sampling metrics (`residuals_mechanics_K.py:276-347`):
+        rel_CE_error, vf_error (+ data-residual sanity value). Floating
+        material is host-side (see ops.connected_components).
+
+        Returns dict of per-sample arrays + binarized rho images for the
+        host-side fm check.
+        """
+        bcs = batch.bcs
+        vf = batch.conditioning[..., 0][:, 0, 0]
+        opt_disp = batch.solution[..., :2]
+        rho_simp = batch.solution[:, :-1, :-1, 2]  # drop padding row/col
+        rho_simp_e = rho_simp.reshape(rho_simp.shape[0], -1)
+
+        # sanity: residual of the dataset's optimal displacements ~ 0
+        # (`residuals_mechanics_K.py:303-305`)
+        res_data, u_data, f, mask = self.residual_from_fields(opt_disp, rho_simp_e, bcs)
+        compliance_data = jnp.einsum("bi,bi->b", u_data, f)
+
+        rho_pred = x0_pred[..., 2]
+        rho_bin = jnp.where(rho_pred > 0.5, 1.0, 1e-3)
+        rho_bin_e = rho_bin.reshape(rho_bin.shape[0], -1)
+        u_sol = self.solve(rho_bin_e, bcs)
+        compliance_true = jnp.einsum("bi,bi->b", u_sol, f)
+
+        rel_ce = (compliance_true - compliance_data) / compliance_data
+        vf_err = jnp.abs(rho_bin_e.mean(axis=1) - vf) / vf
+        return {
+            "rel_CE_error_full_batch": rel_ce,
+            "vf_error_full_batch": vf_err,
+            "data_residual_mean_abs": jnp.abs(res_data).mean(),
+            "rho_binarized": rho_bin,
+        }
