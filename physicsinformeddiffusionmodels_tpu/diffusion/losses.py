@@ -187,6 +187,7 @@ def pidm_loss(
     pred_mode: PredMode = "x0",
     x0_sampler: Optional[Callable] = None,
     ll_clamp: Optional[float] = None,
+    model_out_transform: Optional[Callable] = None,
 ) -> tuple[jax.Array, LossAux]:
     """Full physics-informed diffusion loss (one minibatch).
 
@@ -206,6 +207,11 @@ def pidm_loss(
         given, the residual is evaluated on its output while the data loss
         still targets the first direct model output.
       ll_clamp: floor for log-likelihood terms (toy study uses TOY_LL_CLAMP).
+      model_out_transform: optional map applied to the raw model output
+        before the data loss — the mechanics study compares in the 65x65
+        node layout (displacements upsampled, rho padded;
+        `residuals_mechanics_K.py:245-255`) while the physics terms take the
+        raw 64x64 prediction.
 
     Note: the reference evaluates the inequality likelihood against a
     variance tensor shaped for the *residual*, which broadcasts a [B] ineq
@@ -217,6 +223,8 @@ def pidm_loss(
     x_t = q_sample(sched, x0, t, noise)
 
     x0_pred, model_out = estimate_x0(sched, denoise_fn, x_t, t, pred_mode)
+    if model_out_transform is not None:
+        model_out = model_out_transform(model_out)
 
     if pred_mode == "x0":
         data_loss = data_loss_x0(sched, x0, model_out, t)
