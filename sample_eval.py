@@ -1,0 +1,196 @@
+"""Evaluation driver for pretrained models.
+
+TPU-native equivalent of the reference's `sample.py`: loads a checkpoint,
+regenerates samples with the full correction options (CoCoGen M/N steps,
+residual-gradient CFG), writes per-sample PNG/CSV/GIF +
+sample_statistics.csv, and for mechanics sweeps the in-/out-of-distribution
+test sets (test_level_1, test_level_2) accumulating residual / rel_CE / vf /
+fm CSVs and printing medians/means with a wall-time report
+(`/root/reference/sample.py:244-345`). The eval sweep is data-parallel over
+the device mesh (batch sharded over 'dp').
+
+    python sample_eval.py --model-dir trained_models/run_1 [--step N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import time
+from pathlib import Path
+
+from physicsinformeddiffusionmodels_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from physicsinformeddiffusionmodels_tpu.config import RunConfig
+from physicsinformeddiffusionmodels_tpu.data import NpyFieldDataset, iter_batches
+from physicsinformeddiffusionmodels_tpu.diffusion import create_schedule
+from physicsinformeddiffusionmodels_tpu.ops.connected_components import floating_material
+from physicsinformeddiffusionmodels_tpu.parallel import make_mesh, shard_batch
+from physicsinformeddiffusionmodels_tpu.physics.darcy import DarcyResidual
+from physicsinformeddiffusionmodels_tpu.physics.mechanics import MechanicsResidual
+from physicsinformeddiffusionmodels_tpu.training import latest_checkpoint, load_checkpoint
+from physicsinformeddiffusionmodels_tpu.utils import viz
+
+
+def load_run(model_dir: str, step: int | None):
+    model_dir = Path(model_dir)
+    cfg = RunConfig.load(model_dir / "config.json")
+    ckpt_dir = model_dir / "model"
+    path = ckpt_dir / f"checkpoint_{step}.msgpack" if step is not None else latest_checkpoint(ckpt_dir)
+    if path is None or not Path(path).exists():
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    raw = load_checkpoint(path)
+    print(f"Checkpoint loaded from {path}")
+    return cfg, raw
+
+
+def eval_darcy(cfg: RunConfig, raw, out_dir: Path, no_samples: int, create_gif: bool, seed: int):
+    import train as train_mod
+
+    model = train_mod.build_model(cfg)
+    # restore typed params through a template init
+    key = jax.random.key(0)
+    dummy = jnp.zeros((1, cfg.pixels_per_dim, cfg.pixels_per_dim, cfg.model_channels))
+    template = model.init(key, dummy, jnp.zeros((1,), jnp.int32))
+    from flax import serialization
+
+    params = serialization.from_state_dict(template, raw["ema_params"] or raw["params"])
+
+    sched = create_schedule(cfg.diff_steps)
+    physics = DarcyResidual(
+        pixels_per_dim=cfg.pixels_per_dim, fd_acc=cfg.fd_acc,
+        pixels_at_boundary=cfg.pixels_at_boundary, reverse_d1=cfg.reverse_d1,
+        domain_length=cfg.domain_length, periodic=cfg.bcs == "periodic",
+    )
+    sample_fn = train_mod.make_sample_fn(model, sched, physics, cfg)
+    t0 = time.time()
+    samples, residual = sample_fn(params, jax.random.key(seed), no_samples)
+    samples = np.asarray(samples)
+    res_b = np.abs(np.asarray(residual)).mean(axis=(1, 2))
+
+    step_dir = out_dir / "validation"
+    for s in range(no_samples):
+        for c in range(samples.shape[-1]):
+            viz.save_field_image(
+                samples[s, :, :, c], str(step_dir / f"sample_{s}_{c}.png"),
+                title=f"residual: {res_b[s]:.2e}",
+            )
+            viz.save_csv(samples[s, :, :, c], str(step_dir / f"sample_{s}" / f"sample_{c}.csv"))
+    with open(step_dir / "sample_statistics.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["Sample Index", "Residuals (abs)"])
+        for i, r in enumerate(res_b):
+            w.writerow([i, r])
+        w.writerow(["Mean", np.nanmean(res_b)])
+    print(f"residual mean {np.nanmean(res_b):.3e} median {np.nanmedian(res_b):.3e}")
+    print(f"Evaluation done (time: {time.strftime('%H:%M:%S', time.gmtime(time.time()-t0))}).")
+    return res_b
+
+
+def eval_mechanics(cfg: RunConfig, raw, out_dir: Path, no_samples: int, test_batches: int, seed: int, test_data_root: str | None = None):
+    import train_mechanics as tm
+
+    model = tm.UNet(
+        dim=cfg.unet_dim, channels=cfg.model_channels, out_dim=cfg.output_channels,
+        sigmoid_last_channel=True,
+    )
+    P = cfg.pixels_per_dim
+    template = model.init(
+        jax.random.key(0), jnp.zeros((1, P, P, cfg.model_channels)), jnp.zeros((1,), jnp.int32)
+    )
+    from flax import serialization
+
+    params = serialization.from_state_dict(template, raw["ema_params"] or raw["params"])
+    sched = create_schedule(cfg.diff_steps)
+    mech = MechanicsResidual(pixels_per_dim=P)
+    sample_fn = tm.make_mech_sample_fn(model, sched, mech, cfg)
+
+    mesh = make_mesh(cfg.mesh_dp, cfg.mesh_tp)
+    multi_device = mesh.devices.size > 1
+
+    base = Path(test_data_root) if test_data_root else Path(cfg.data_dir).parent.parent
+    t0 = time.time()
+    key = jax.random.key(seed)
+    for level in ("test_level_1", "test_level_2"):
+        ddir = base / "test" / level / "fields"
+        if not ddir.exists():
+            print(f"[skip] {ddir} not found")
+            continue
+        ds = NpyFieldDataset(str(ddir))
+        res_list, ce_list, vf_list, fm_list = [], [], [], []
+        for bi, batch in enumerate(iter_batches(ds, cfg.train_batch_size)):
+            b = jnp.asarray(batch)
+            if multi_device and b.shape[0] % mesh.shape["dp"] == 0:
+                b = shard_batch(b, mesh)
+            key, k = jax.random.split(key)
+            final, residual, compliance, ineq, topopt = sample_fn(params, b, k)
+            res_list.append(np.abs(np.asarray(residual)).mean(axis=1))
+            ce_list.append(np.asarray(topopt["rel_CE_error_full_batch"]))
+            vf_list.append(np.asarray(topopt["vf_error_full_batch"]))
+            fm_list.append(floating_material(np.asarray(topopt["rho_binarized"])))
+            if bi == 0:
+                finals = np.asarray(final)
+                for s in range(min(len(finals), no_samples)):
+                    for c in range(3):
+                        viz.save_field_image(
+                            finals[s, :, :, c],
+                            str(out_dir / level / f"sample_{s}_{c}.png"),
+                        )
+            if test_batches != -1 and bi >= test_batches:
+                break
+        res = np.concatenate(res_list)
+        ce = np.concatenate(ce_list)
+        vfe = np.concatenate(vf_list)
+        fm = np.concatenate(fm_list)
+        ldir = out_dir / level
+        ldir.mkdir(parents=True, exist_ok=True)
+        np.savetxt(ldir / "residuals.csv", res, delimiter=",")
+        np.savetxt(ldir / "rel_CE_error.csv", ce, delimiter=",")
+        np.savetxt(ldir / "rel_vf_error.csv", vfe, delimiter=",")
+        np.savetxt(ldir / "fm_error.csv", fm, delimiter=",")
+        print(f"On {level}:")
+        print(
+            "CE median error:", np.median(ce), "VF mean error:", np.mean(vfe),
+            "FM mean error:", np.mean(fm), "Mean residual:", np.mean(res),
+            "Median residual:", np.median(res),
+        )
+    print(f"Evaluation done (time: {time.strftime('%H:%M:%S', time.gmtime(time.time()-t0))}).")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-dir", required=True)
+    ap.add_argument("--step", type=int, default=None)
+    ap.add_argument("--no-samples", type=int, default=3)
+    ap.add_argument("--test-batches", type=int, default=-1, help="-1 = full test sets")
+    ap.add_argument("--create-gif", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--test-data-root", default=None,
+                    help="mechanics: dir containing test/test_level_{1,2}/fields")
+    args = ap.parse_args()
+
+    cfg, raw = load_run(args.model_dir, args.step)
+    out_dir = Path(args.model_dir) / "evaluation"
+    i = 1
+    while out_dir.exists():
+        out_dir = Path(args.model_dir) / f"evaluation_{i}"
+        i += 1
+    out_dir.mkdir(parents=True)
+
+    if cfg.gov_eqs == "darcy":
+        eval_darcy(cfg, raw, out_dir, args.no_samples, args.create_gif, args.seed)
+    else:
+        eval_mechanics(
+            cfg, raw, out_dir, args.no_samples, args.test_batches, args.seed,
+            args.test_data_root,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""UNet denoiser: shapes, capability knobs, equivariances. Small dims/grids
+keep the single-CPU compile time down."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from physicsinformeddiffusionmodels_tpu.models.unet import UNet, apply_with_guidance
+
+DIM, P = 16, 16
+
+
+@pytest.fixture(scope="module")
+def small():
+    model = UNet(dim=DIM, channels=2, resnet_groups=8)
+    x = jnp.zeros((2, P, P, 2))
+    t = jnp.array([0, 50])
+    params = model.init(jax.random.key(0), x, t)
+    return model, params
+
+
+def test_forward_shape_and_finite(small):
+    model, params = small
+    x = jax.random.normal(jax.random.key(1), (2, P, P, 2))
+    y = model.apply(params, x, jnp.array([3, 99]))
+    assert y.shape == (2, P, P, 2)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_time_conditioning_changes_output(small):
+    model, params = small
+    x = jax.random.normal(jax.random.key(1), (1, P, P, 2))
+    y0 = model.apply(params, x, jnp.array([0]))
+    y99 = model.apply(params, x, jnp.array([99]))
+    assert np.abs(np.asarray(y0 - y99)).max() > 1e-4
+
+
+def test_out_dim_and_sigmoid():
+    model = UNet(dim=DIM, channels=4, out_dim=3, sigmoid_last_channel=True)
+    x = jax.random.normal(jax.random.key(0), (1, P, P, 4))
+    params = model.init(jax.random.key(0), x, jnp.array([1]))
+    y = model.apply(params, x, jnp.array([1]))
+    assert y.shape == (1, P, P, 3)
+    last = np.asarray(y[..., -1])
+    assert (last >= 0).all() and (last <= 1).all()
+
+
+def test_circular_padding_shift_equivariance():
+    """With circular padding the (attention-free) network commutes with
+    cyclic pixel shifts (`unet_model.py:171-199` motivation: periodic BCs)."""
+    model = UNet(
+        dim=DIM, channels=2, padding_mode="circular",
+        use_sparse_linear_attn=False, frame_attention=False,
+    )
+    x = jax.random.normal(jax.random.key(2), (1, P, P, 2))
+    params = model.init(jax.random.key(0), x, jnp.array([5]))
+    y = model.apply(params, x, jnp.array([5]))
+    # shift must be divisible by the total downsampling stride (2^3 = 8)
+    shift = 8
+    x_s = jnp.roll(x, shift, axis=1)
+    y_s = model.apply(params, x_s, jnp.array([5]))
+    np.testing.assert_allclose(
+        np.asarray(jnp.roll(y, shift, axis=1)), np.asarray(y_s), atol=1e-4
+    )
+
+
+def test_zero_padding_not_shift_equivariant():
+    model = UNet(
+        dim=DIM, channels=2, padding_mode="zeros",
+        use_sparse_linear_attn=False, frame_attention=False,
+    )
+    x = jax.random.normal(jax.random.key(2), (1, P, P, 2))
+    params = model.init(jax.random.key(0), x, jnp.array([5]))
+    y = model.apply(params, x, jnp.array([5]))
+    x_s = jnp.roll(x, 4, axis=1)
+    y_s = model.apply(params, x_s, jnp.array([5]))
+    assert np.abs(np.asarray(jnp.roll(y, 4, axis=1) - y_s)).max() > 1e-3
+
+
+def test_classifier_free_guidance(small):
+    model, params = small
+    x = jax.random.normal(jax.random.key(3), (2, P, P, 2))
+    cond = jax.random.normal(jax.random.key(4), (2, P, P, 2))
+    t = jnp.array([10, 20])
+    guided = apply_with_guidance(model, params, x, t, cond, guidance_scale=3.0)
+    null = model.apply(params, x, t, cond=cond, null_cond_prob=1.0)
+    full = model.apply(params, x, t, cond=cond, null_cond_prob=0.0)
+    np.testing.assert_allclose(
+        np.asarray(guided), np.asarray(null + 3.0 * (full - null)), atol=1e-5
+    )
+    # scale 1 returns the conditional logits directly
+    g1 = apply_with_guidance(model, params, x, t, cond, guidance_scale=1.0)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(full), atol=1e-6)
+
+
+def test_unconditioned_matches_condpath_free():
+    """cond=None output is independent of the (dead) cond-path params."""
+    m1 = UNet(dim=DIM, channels=2, cond_path=True)
+    m2 = UNet(dim=DIM, channels=2, cond_path=False)
+    x = jax.random.normal(jax.random.key(5), (1, P, P, 2))
+    p1 = m1.init(jax.random.key(0), x, jnp.array([1]))
+    y1 = m1.apply(p1, x, jnp.array([1]))
+    # strip cond-path params and run the cond-free architecture
+    inner = {k: v for k, v in p1["params"].items() if not k.startswith(("emb_conv", "combine_conv"))}
+    y2 = m2.apply({"params": inner}, x, jnp.array([1]))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+def test_self_condition():
+    model = UNet(dim=DIM, channels=2, self_condition=True)
+    x = jax.random.normal(jax.random.key(6), (1, P, P, 2))
+    params = model.init(jax.random.key(0), x, jnp.array([1]))
+    y_none = model.apply(params, x, jnp.array([1]))
+    y_sc = model.apply(params, x, jnp.array([1]), x_self_cond=x)
+    assert y_none.shape == (1, P, P, 2)
+    assert np.abs(np.asarray(y_none - y_sc)).max() > 1e-5
+
+
+def test_video_frames_path():
+    model = UNet(dim=DIM, channels=2)
+    x = jax.random.normal(jax.random.key(7), (1, 3, P, P, 2))
+    params = model.init(jax.random.key(0), x, jnp.array([1]))
+    y = model.apply(params, x, jnp.array([1]))
+    assert y.shape == (1, 3, P, P, 2)
+    # F=1 video input returns a frame axis too
+    x1 = x[:, :1]
+    p1 = model.init(jax.random.key(0), x1, jnp.array([1]))
+    assert model.apply(p1, x1, jnp.array([1])).shape == (1, 1, P, P, 2)
