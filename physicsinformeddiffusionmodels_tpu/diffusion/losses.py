@@ -52,7 +52,7 @@ class PhysicsTerms(NamedTuple):
     optimizer:  [B] per-sample optimization objective (e.g. compliance), or None.
     """
 
-    residual: jax.Array
+    residual: Optional[jax.Array] = None
     inequality: Optional[jax.Array] = None
     optimizer: Optional[jax.Array] = None
 
@@ -182,7 +182,7 @@ def pidm_loss(
     key: jax.Array,
     *,
     denoise_fn: Callable,
-    physics_fn: Callable[[jax.Array], PhysicsTerms],
+    physics_fn: Optional[Callable[[jax.Array], PhysicsTerms]] = None,
     weights: LossWeights,
     pred_mode: PredMode = "x0",
     x0_sampler: Optional[Callable] = None,
@@ -246,13 +246,16 @@ def pidm_loss(
     else:
         x0_est = x0_pred
 
-    terms = physics_fn(x0_est)
+    # physics_fn=None -> vanilla DDPM (data loss only)
+    terms = physics_fn(x0_est) if physics_fn is not None else PhysicsTerms()
     residual = terms.residual
 
-    loss = loss + weights.c_residual * residual_log_likelihood_loss(
-        sched, residual, t, clamp=ll_clamp
-    )
-    residual_track = jnp.abs(residual).mean()
+    residual_track = jnp.zeros((), x0.dtype)
+    if residual is not None:
+        loss = loss + weights.c_residual * residual_log_likelihood_loss(
+            sched, residual, t, clamp=ll_clamp
+        )
+        residual_track = jnp.abs(residual).mean()
 
     ineq_track = jnp.zeros((), x0.dtype)
     if terms.inequality is not None:

@@ -38,6 +38,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from physicsinformeddiffusionmodels_tpu.ops.pallas_attention import (
+    linear_attention,
+)
+from physicsinformeddiffusionmodels_tpu.ops.pallas_kernels import (
+    group_norm_film_silu,
+)
+
 
 # --------------------------------------------------------------------------
 # small modules
@@ -154,11 +161,14 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, scale_shift=None):
         x = Conv2dPadded(self.dim_out, 3, 1, 1, self.padding_mode, self.dtype)(x)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)(x)
-        if scale_shift is not None:
-            scale, shift = scale_shift
-            x = x * (scale + 1.0) + shift
-        return nn.silu(x)
+        # GroupNorm -> FiLM -> SiLU in one fused Pallas pass on TPU
+        # (ops/pallas_kernels.py); plain XLA fallback elsewhere.
+        gamma = self.param("gn_scale", nn.initializers.ones, (self.dim_out,))
+        beta = self.param("gn_bias", nn.initializers.zeros, (self.dim_out,))
+        scale, shift = scale_shift if scale_shift is not None else (None, None)
+        return group_norm_film_silu(
+            x, gamma, beta, scale, shift, groups=self.groups
+        )
 
 
 class ResnetBlock(nn.Module):
@@ -204,17 +214,20 @@ class SpatialLinearAttention(nn.Module):
         *lead, h, w, c = x.shape
         n = h * w
         hidden = self.heads * self.dim_head
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        qkv = qkv.reshape(*lead, n, 3, self.heads, self.dim_head)
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-        # [..., n, heads, d]
-        q = jax.nn.softmax(q, axis=-1) * self.dim_head**-0.5
-        k = jax.nn.softmax(k, axis=-3)
-        v = v / n
-        context = jnp.einsum("...nhd,...nhe->...hde", k, v)
-        out = jnp.einsum("...hde,...nhd->...nhe", context, q)
-        out = out.reshape(*lead, h, w, hidden)
-        return nn.Conv(self.dim, (1, 1), dtype=self.dtype)(out)
+        w_qkv = self.param(
+            "w_qkv", nn.initializers.lecun_normal(), (c, hidden * 3)
+        )
+        w_out = self.param(
+            "w_out", nn.initializers.lecun_normal(), (hidden, self.dim)
+        )
+        b_out = self.param("b_out", nn.initializers.zeros, (self.dim,))
+        dt = self.dtype or x.dtype
+        tokens = x.reshape(-1, n, c).astype(dt)
+        out = linear_attention(
+            tokens, w_qkv.astype(dt), w_out.astype(dt),
+            heads=self.heads, dim_head=self.dim_head,
+        )
+        return out.reshape(*lead, h, w, self.dim) + b_out.astype(dt)
 
 
 def _rope_rotate(x, positions, dim_head):
@@ -326,11 +339,22 @@ class FrameAttention(nn.Module):
         if F == 1:
             # softmax over one key is 1 -> attention output == to_out(v);
             # RoPE at position 0 and the single-bucket bias are identities.
+            # Only the v third of the qkv weight is used — slice it BEFORE
+            # the matmul so the q/k projections are never computed (2/3 of
+            # the FLOPs and a [B, HW, 3*hidden] intermediate saved).
             hidden = self.heads * self.dim_head
-            qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")
-            out_proj = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")
-            v = qkv(tokens)[..., 2 * hidden :]
-            out = out_proj(v)
+            w_qkv = self.param(
+                "to_qkv_kernel", nn.initializers.lecun_normal(), (C, 3 * hidden)
+            )
+            w_out = self.param(
+                "to_out_kernel", nn.initializers.lecun_normal(), (hidden, self.dim)
+            )
+            # ... and the two matmuls collapse to one: out = x (W_v W_out),
+            # a [C, C] weight computed once per step (hidden never
+            # materializes; 8x fewer FLOPs, 1/8 the activation traffic).
+            dt = self.dtype or tokens.dtype
+            w_eff = (w_qkv[:, 2 * hidden:] @ w_out).astype(dt)
+            out = tokens.astype(dt) @ w_eff
         else:
             bias = RelativePositionBias(heads=self.heads, max_distance=32)(F)
             out = Attention(

@@ -14,6 +14,9 @@ from physicsinformeddiffusionmodels_tpu.ops.gradients import (
     jacobian_autodiff,
     jacobian_numeric,
 )
+from physicsinformeddiffusionmodels_tpu.ops.pallas_kernels import (
+    group_norm_film_silu,
+)
 from physicsinformeddiffusionmodels_tpu.ops.reshape import (
     b_xy_c_to_image,
     image_to_b_xy_c,
@@ -33,6 +36,7 @@ __all__ = [
     "image_jacobian",
     "jacobian_autodiff",
     "jacobian_numeric",
+    "group_norm_film_silu",
     "b_xy_c_to_image",
     "image_to_b_xy_c",
     "nchw_to_nhwc",

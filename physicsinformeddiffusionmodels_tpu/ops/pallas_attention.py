@@ -1,0 +1,399 @@
+"""Fused spatial linear attention as a Pallas TPU kernel.
+
+The reference's ``SpatialLinearAttention`` (`/root/reference/src/
+unet_model.py:269-299`) — q channel-softmaxed, k token-softmaxed,
+``context = k^T v``, ``out = context q`` — is FLOP-light but, evaluated as
+plain XLA ops, materializes the [B, N, 3·heads·dim_head] qkv tensor and its
+softmax'd descendants in HBM (≈5.5 GB of traffic per call at the Darcy
+64x64 level-1 shape; measured with XLA cost analysis). This kernel computes
+the whole block — qkv projection, both softmaxes, the two contractions, and
+the output projection — per batch row in VMEM. HBM traffic drops to
+x (read) + out (write) + weights: ~50x less.
+
+Layout: the kernel works channel-major ([C, N] per batch row) so the head
+axis lives on sublanes (sublane reshapes/slices are Mosaic-friendly; lane-
+axis reshapes are not) and token tiles are lane slices. Token-softmax (k)
+normalization is streamed flash-attention style over token tiles: running
+max m, normalizer Z, and the rescaled context accumulate in fori_loop
+carries.
+
+Backward is a second Pallas kernel implementing the analytic VJP (all
+matmuls + softmax VJPs); the only cross-token reduction it needs,
+``sum_n(dK' * K')``, collapses to ``rowsum(dctx * ctx)`` because
+``ctx = K'^T v``, so no extra streaming pass is required.
+
+Math (per batch b, head h, token n, head-channels d/e):
+    q, k, v = x W_q, x W_k, x W_v                        [N, dh] each
+    P  = softmax_d(q);  q~ = P * dh^{-1/2}
+    K' = softmax_n(k)   (per d, over tokens)
+    v~ = v / N
+    ctx[d, e] = sum_n K'[n, d] v~[n, e]
+    y[n, e]   = sum_d q~[n, d] ctx[d, e]
+    o = concat_h(y) W_out + b_out
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _choose_tile(n: int) -> int:
+    for t in (512, 256, 128):
+        if n % t == 0:
+            return t
+    return n
+
+
+# --------------------------------------------------------------------------
+# reference (XLA) implementation — CPU/GPU fallback and test oracle
+# --------------------------------------------------------------------------
+
+
+def linear_attention_reference(x, w_qkv, w_out, heads: int, dim_head: int):
+    """x: [B, N, C]; w_qkv: [C, 3*H]; w_out: [H, C] with H = heads*dim_head."""
+    b, n, c = x.shape
+    h = heads * dim_head
+    qkv = x @ w_qkv  # [B, N, 3H]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, n, heads, dim_head)
+    k = k.reshape(b, n, heads, dim_head)
+    v = v.reshape(b, n, heads, dim_head)
+    q = jax.nn.softmax(q, axis=-1) * dim_head**-0.5
+    k = jax.nn.softmax(k, axis=1)
+    v = v / n
+    ctx = jnp.einsum("bnhd,bnhe->bhde", k, v)
+    out = jnp.einsum("bhde,bnhd->bnhe", ctx, q)
+    return out.reshape(b, n, h) @ w_out
+
+
+# --------------------------------------------------------------------------
+# forward kernel
+# --------------------------------------------------------------------------
+
+
+def _fwd_kernel(xt_ref, wqkv_ref, wout_ref, o_ref,
+                *, heads: int, dh: int, n: int, c: int, tile: int):
+    """One grid step = one batch row. xt: [1, C, N] channel-major."""
+    H = heads * dh
+    w = wqkv_ref[:].astype(jnp.float32)  # [3H, C]
+    n_tiles = n // tile
+    scale = dh**-0.5
+
+    def kv_tile(i):
+        sl = pl.ds(i * tile, tile)
+        xtile = xt_ref[0, :, sl].astype(jnp.float32)  # [C, T]
+        kT = jnp.dot(w[H:2 * H], xtile, preferred_element_type=jnp.float32)
+        vT = jnp.dot(w[2 * H:], xtile, preferred_element_type=jnp.float32)
+        return kT.reshape(heads, dh, tile), vT.reshape(heads, dh, tile)
+
+    # Phase A: streamed token-softmax of k + context accumulation.
+    def body_a(i, carry):
+        m, z, ctx = carry
+        kT, vT = kv_tile(i)
+        m_new = jnp.maximum(m, jnp.max(kT, axis=2, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        ek = jnp.exp(kT - m_new)
+        z = z * alpha + jnp.sum(ek, axis=2, keepdims=True)
+        ctx = ctx * alpha + jax.lax.dot_general(
+            ek, vT,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, z, ctx
+
+    m0 = jnp.full((heads, dh, 1), -jnp.inf, jnp.float32)
+    z0 = jnp.zeros((heads, dh, 1), jnp.float32)
+    ctx0 = jnp.zeros((heads, dh, dh), jnp.float32)
+    m, z, ctx = jax.lax.fori_loop(0, n_tiles, body_a, (m0, z0, ctx0))
+    # fold the k normalizer and the v/N scaling into ctx
+    ctx = ctx / (z * float(n))                        # [h, d, e]
+
+    wo = wout_ref[:].astype(jnp.float32)              # [C, H] (transposed W_out)
+
+    # Phase B: q softmax per token + output projection, tile by tile.
+    def body_b(i, _):
+        sl = pl.ds(i * tile, tile)
+        xtile = xt_ref[0, :, sl].astype(jnp.float32)
+        qT = jnp.dot(w[:H], xtile, preferred_element_type=jnp.float32)
+        qT = qT.reshape(heads, dh, tile)
+        qmx = jnp.max(qT, axis=1, keepdims=True)      # softmax over d (axis 1)
+        eq = jnp.exp(qT - qmx)
+        p = eq / jnp.sum(eq, axis=1, keepdims=True) * scale
+        yT = jax.lax.dot_general(
+            ctx, p,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                             # [h, e, T]
+        oT = jnp.dot(wo, yT.reshape(H, tile), preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = oT.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, body_b, 0)
+
+
+# --------------------------------------------------------------------------
+# backward kernel
+# --------------------------------------------------------------------------
+
+
+def _bwd_kernel(xt_ref, wqkv_ref, wout_ref, dyt_ref,
+                dxt_ref, dwqkv_ref, dwout_ref,
+                *, heads: int, dh: int, n: int, c: int, tile: int):
+    """Analytic VJP. dyt: [1, C, N] cotangent of the kernel output.
+
+    dW outputs are [3H, C] / [C, H] accumulators revisited by every grid
+    step (TPU grids run sequentially): initialized at b == 0, accumulated
+    after.
+    """
+    H = heads * dh
+    b_idx = pl.program_id(0)
+    w = wqkv_ref[:].astype(jnp.float32)
+    wo = wout_ref[:].astype(jnp.float32)              # [C, H]
+    n_tiles = n // tile
+    scale = dh**-0.5
+
+    def kv_tile(i):
+        sl = pl.ds(i * tile, tile)
+        xtile = xt_ref[0, :, sl].astype(jnp.float32)
+        kT = jnp.dot(w[H:2 * H], xtile, preferred_element_type=jnp.float32)
+        vT = jnp.dot(w[2 * H:], xtile, preferred_element_type=jnp.float32)
+        return xtile, kT.reshape(heads, dh, tile), vT.reshape(heads, dh, tile)
+
+    # ---- Phase A: recompute m, z, ctx (as in forward) ----
+    def body_a(i, carry):
+        m, z, ctx = carry
+        _, kT, vT = kv_tile(i)
+        m_new = jnp.maximum(m, jnp.max(kT, axis=2, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        ek = jnp.exp(kT - m_new)
+        z = z * alpha + jnp.sum(ek, axis=2, keepdims=True)
+        ctx = ctx * alpha + jax.lax.dot_general(
+            ek, vT, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, z, ctx
+
+    m0 = jnp.full((heads, dh, 1), -jnp.inf, jnp.float32)
+    z0 = jnp.zeros((heads, dh, 1), jnp.float32)
+    ctx0 = jnp.zeros((heads, dh, dh), jnp.float32)
+    m, z, ctx_raw = jax.lax.fori_loop(0, n_tiles, body_a, (m0, z0, ctx0))
+    zn = z * float(n)
+    ctx = ctx_raw / zn                                # normalized context
+
+    # ---- Phase B: q tiles -> dctx, dA (q-path), dW_q, dW_out, partial dx ----
+    def body_b(i, carry):
+        dctx, dwq, dwout = carry
+        sl = pl.ds(i * tile, tile)
+        xtile = xt_ref[0, :, sl].astype(jnp.float32)
+        dytile = dyt_ref[0, :, sl].astype(jnp.float32)  # [C, T]
+        qT = jnp.dot(w[:H], xtile, preferred_element_type=jnp.float32)
+        qT = qT.reshape(heads, dh, tile)
+        qmx = jnp.max(qT, axis=1, keepdims=True)
+        eq = jnp.exp(qT - qmx)
+        P = eq / jnp.sum(eq, axis=1, keepdims=True)   # [h, d, T]
+        qt = P * scale
+        # y = ctx^T q~ : [h, e, T]
+        yT = jax.lax.dot_general(
+            ctx, qt, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # dW_out += y dyt^T : [C, H] uses (dyt [C,T]) @ (y [H,T])^T
+        dwout = dwout + jnp.dot(
+            dytile, yT.reshape(H, tile).T, preferred_element_type=jnp.float32
+        )
+        # dy (pre out-projection): [H, T] = wo^T dyt
+        dyh = jnp.dot(wo.T, dytile, preferred_element_type=jnp.float32)
+        dyh = dyh.reshape(heads, dh, tile)            # [h, e, T]
+        # dq~ = ctx dy : [h, d, T]
+        dqt = jax.lax.dot_general(
+            ctx, dyh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        )
+        # dctx += q~ dy^T over tokens: [h, d, e]
+        dctx = dctx + jax.lax.dot_general(
+            qt, dyh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # softmax (over d) VJP: dA = P ⊙ (s·dq~ - sum_d(s·dq~ ⊙ P))
+        g = dqt * scale
+        dA = P * (g - jnp.sum(g * P, axis=1, keepdims=True))  # [h, d, T]
+        dA2 = dA.reshape(H, tile)
+        # dx partial (q path): W_q^T dA -> [C, T]
+        dxt_ref[0, :, sl] = jnp.dot(
+            w[:H].T, dA2, preferred_element_type=jnp.float32
+        ).astype(dxt_ref.dtype)
+        # dW_q += dA x^T : [H, C]
+        dwq = dwq + jnp.dot(dA2, xtile.T, preferred_element_type=jnp.float32)
+        return dctx, dwq, dwout
+
+    dctx0 = jnp.zeros((heads, dh, dh), jnp.float32)
+    dwq0 = jnp.zeros((H, c), jnp.float32)
+    dwout0 = jnp.zeros((c, H), jnp.float32)
+    dctx, dwq, dwout = jax.lax.fori_loop(0, n_tiles, body_b, (dctx0, dwq0, dwout0))
+
+    # Chain through the ctx normalization: ctx = ctx_raw / zn.
+    # d(ctx_raw) = dctx / zn;  dzn[d] = -sum_e dctx*ctx_raw / zn^2 = -rowsum(dctx ⊙ ctx)/zn...
+    # We work directly with the normalized quantities:
+    #   K'n = exp(k - m) / zn  (token softmax / N), ctx = K'n^T v
+    #   dK'n = v dctx^T; dk = K'n ⊙ (dK'n - rowsum_n(dK'n ⊙ K'n)/K'n-normalization)
+    # For the scaled softmax s(k)=exp(k-m)/zn with zn = N·sum exp:
+    #   ds/dk VJP: dk = K'n ⊙ dK'n - K'n · sum_n(dK'n ⊙ K'n) · N/N = K'n ⊙ (dK'n - sum_n(dK'n ⊙ K'n·N)/N·N)...
+    # Cleanest correct form: K' = exp(k-m)/z (true softmax), v~ = v/N,
+    # ctx = K'^T v~. Then sum_n(dK' ⊙ K') = rowsum(dctx ⊙ ctx) and
+    # dk = K' ⊙ (dK' - rowsum(dctx ⊙ ctx)), with dK' = v~ dctx^T.
+    row = jnp.sum(dctx * ctx, axis=2, keepdims=True)  # [h, d, 1]
+
+    # ---- Phase C: k/v paths ----
+    def body_c(i, carry):
+        dwk, dwv = carry
+        sl = pl.ds(i * tile, tile)
+        xtile, kT, vT = kv_tile(i)
+        Kp = jnp.exp(kT - m) / z                      # true softmax [h, d, T]
+        vn = vT / float(n)
+        # dK' = v~ dctx^T : [h, d, T] = dctx [h,d,e] @ vn [h,e,T]
+        dKp = jax.lax.dot_general(
+            dctx, vn, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        )
+        dk = Kp * (dKp - row)                         # [h, d, T]
+        # dv~ = K' dctx : [h, e, T]; dv = dv~ / N
+        dvn = jax.lax.dot_general(
+            dctx, Kp, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        )
+        dv = dvn / float(n)
+        dk2 = dk.reshape(H, tile)
+        dv2 = dv.reshape(H, tile)
+        # dx += W_k^T dk + W_v^T dv
+        dxt_ref[0, :, sl] = (
+            dxt_ref[0, :, sl].astype(jnp.float32)
+            + jnp.dot(w[H:2 * H].T, dk2, preferred_element_type=jnp.float32)
+            + jnp.dot(w[2 * H:].T, dv2, preferred_element_type=jnp.float32)
+        ).astype(dxt_ref.dtype)
+        dwk = dwk + jnp.dot(dk2, xtile.T, preferred_element_type=jnp.float32)
+        dwv = dwv + jnp.dot(dv2, xtile.T, preferred_element_type=jnp.float32)
+        return dwk, dwv
+
+    dwk0 = jnp.zeros((H, c), jnp.float32)
+    dwv0 = jnp.zeros((H, c), jnp.float32)
+    dwk, dwv = jax.lax.fori_loop(0, n_tiles, body_c, (dwk0, dwv0))
+
+    dwqkv_b = jnp.concatenate([dwq, dwk, dwv], axis=0)  # [3H, C]
+
+    @pl.when(b_idx == 0)
+    def _():
+        dwqkv_ref[:] = dwqkv_b.astype(dwqkv_ref.dtype)
+        dwout_ref[:] = dwout.astype(dwout_ref.dtype)
+
+    @pl.when(b_idx > 0)
+    def _():
+        dwqkv_ref[:] = (dwqkv_ref[:] + dwqkv_b).astype(dwqkv_ref.dtype)
+        dwout_ref[:] = (dwout_ref[:] + dwout).astype(dwout_ref.dtype)
+
+
+# --------------------------------------------------------------------------
+# pallas_call wrappers + custom VJP
+# --------------------------------------------------------------------------
+
+
+def _fwd_call(xt, w_qkvT, w_outT, heads, dh, interpret):
+    b, c, n = xt.shape
+    H = heads * dh
+    tile = _choose_tile(n)
+    kern = functools.partial(
+        _fwd_kernel, heads=heads, dh=dh, n=n, c=c, tile=tile
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, c, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * H, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, n), xt.dtype),
+        interpret=interpret,
+    )(xt, w_qkvT, w_outT)
+
+
+def _bwd_call(xt, w_qkvT, w_outT, dyt, heads, dh, interpret):
+    b, c, n = xt.shape
+    H = heads * dh
+    tile = _choose_tile(n)
+    kern = functools.partial(
+        _bwd_kernel, heads=heads, dh=dh, n=n, c=c, tile=tile
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, c, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * H, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * H, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c, n), xt.dtype),
+            jax.ShapeDtypeStruct((3 * H, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xt, w_qkvT, w_outT, dyt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _linear_attention_pallas(xt, w_qkvT, w_outT, heads, dh, interpret):
+    return _fwd_call(xt, w_qkvT, w_outT, heads, dh, interpret)
+
+
+def _la_fwd(xt, w_qkvT, w_outT, heads, dh, interpret):
+    y = _fwd_call(xt, w_qkvT, w_outT, heads, dh, interpret)
+    return y, (xt, w_qkvT, w_outT)
+
+
+def _la_bwd(heads, dh, interpret, res, dyt):
+    xt, w_qkvT, w_outT = res
+    dxt, dwqkvT, dwoutT = _bwd_call(xt, w_qkvT, w_outT, dyt, heads, dh, interpret)
+    return dxt, dwqkvT.astype(w_qkvT.dtype), dwoutT.astype(w_outT.dtype)
+
+
+_linear_attention_pallas.defvjp(_la_fwd, _la_bwd)
+
+
+def linear_attention(
+    x: jax.Array,
+    w_qkv: jax.Array,
+    w_out: jax.Array,
+    heads: int = 8,
+    dim_head: int = 32,
+    force_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Fused linear attention. x: [B, N, C]; w_qkv: [C, 3H]; w_out: [H, C].
+
+    Returns [B, N, C] (no output bias — add it outside). Pallas on TPU,
+    reference XLA implementation elsewhere.
+    """
+    use_pallas = (
+        force_pallas if force_pallas is not None else jax.default_backend() == "tpu"
+    )
+    if not use_pallas:
+        return linear_attention_reference(x, w_qkv, w_out, heads, dim_head)
+    xt = jnp.swapaxes(x, -1, -2)  # [B, C, N]
+    yt = _linear_attention_pallas(
+        xt,
+        jnp.swapaxes(w_qkv, 0, 1),  # [3H, C]
+        jnp.swapaxes(w_out, 0, 1),  # [C, H]
+        heads,
+        dim_head,
+        False,
+    )
+    return jnp.swapaxes(yt, -1, -2)

@@ -1,0 +1,287 @@
+"""Pallas TPU kernels for the hot elementwise/normalization path.
+
+``group_norm_film_silu`` fuses the reference's per-ResnetBlock sequence
+conv -> GroupNorm -> FiLM scale-shift -> SiLU (`/root/reference/src/
+unet_model.py:223-241`) minus the conv into ONE bandwidth-optimal pass:
+the input is read once from HBM, per-group statistics are computed on-chip,
+and the normalized/affine/SiLU result is written once. Under XLA this is a
+reduce kernel plus a separate elementwise kernel (two reads of x); the
+fused kernel halves HBM traffic for the op, which is what matters — the op
+is bandwidth-bound, not FLOP-bound.
+
+A custom VJP keeps training fast: the backward pass is a second Pallas
+kernel that recomputes the normalization from the saved input (one extra
+read instead of saving the activations) and emits dx plus the parameter
+cotangents' per-batch partial sums.
+
+Used on TPU; on CPU/GPU the module falls back to plain jnp (identical
+numerics, verified by tests/test_pallas.py in interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _reference_impl(x, gamma, beta, scale, shift, groups: int, eps: float):
+    """Plain-XLA implementation (also the CPU/GPU fallback)."""
+    b = x.shape[0]
+    c = x.shape[-1]
+    xg = x.reshape(b, -1, groups, c // groups)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = ((xg - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+    xn = ((xg - mean) / jnp.sqrt(var + eps)).reshape(x.shape)
+    y = xn * gamma + beta
+    y = y * (scale[:, None, :] + 1.0) + shift[:, None, :] if scale is not None else y
+    return y * jax.nn.sigmoid(y)
+
+
+
+def _group_sum(v, groups: int, cg: int, c: int):
+    """Per-channel group sums: v [k, C] -> [k, C] where each entry holds the
+    sum of v over the channels in its group. A [C, C] block-diagonal 0/1
+    matmul — Mosaic-friendly (no lane-dim reshapes) and trivially MXU work.
+    """
+    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0) // cg
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1) // cg
+    mask = (row == col).astype(v.dtype)
+    return jnp.dot(v, mask, preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref,
+                *, groups: int, eps: float, n: int, c: int):
+    """One grid step = one batch element: x block is [1, N, C]."""
+    x = x_ref[0].astype(jnp.float32)  # stats in fp32 even for bf16 inputs
+    cg = c // groups
+    # Channel-wise first and second moments over tokens, then group-summed
+    # back onto channels in one masked matmul -> [2, C]
+    s12 = jnp.concatenate(
+        [jnp.sum(x, axis=0, keepdims=True), jnp.sum(x * x, axis=0, keepdims=True)],
+        axis=0,
+    )
+    s12c = _group_sum(s12, groups, cg, c)
+    denom = float(n * cg)
+    mean_c = s12c[0:1] / denom
+    var_c = s12c[1:2] / denom - mean_c * mean_c
+    inv_c = jax.lax.rsqrt(var_c + eps)
+    # Fold GN affine + FiLM into a single per-channel multiply-add: y = x*a + b.
+    i = pl.program_id(0)
+    gamma = gamma_ref[:].astype(jnp.float32)
+    sc1 = scale_ref[pl.ds(i, 1), :].astype(jnp.float32) + 1.0
+    a = inv_c * gamma * sc1
+    bb = (beta_ref[:].astype(jnp.float32) - mean_c * inv_c * gamma) * sc1 \
+        + shift_ref[pl.ds(i, 1), :].astype(jnp.float32)
+    y = x * a + bb
+    o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+
+
+def _bwd_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, dy_ref,
+                dx_ref, dgamma_ref, dbeta_ref, dscale_ref, dshift_ref,
+                *, groups: int, eps: float, n: int, c: int):
+    """Recompute forward stats, then chain SiLU' -> FiLM -> GroupNorm'.
+
+    dscale/dshift are per-batch rows of a full [B, C] output; dgamma/dbeta
+    are [1, C] accumulators carried across the (sequential) TPU grid.
+    """
+    x = x_ref[0].astype(jnp.float32)
+    dy = dy_ref[0].astype(jnp.float32)
+    cg = c // groups
+    s12 = jnp.concatenate(
+        [jnp.sum(x, axis=0, keepdims=True), jnp.sum(x * x, axis=0, keepdims=True)],
+        axis=0,
+    )
+    s12c = _group_sum(s12, groups, cg, c)
+    denom = float(n * cg)
+    mean_c = s12c[0:1] / denom
+    var_c = s12c[1:2] / denom - mean_c * mean_c
+    inv_c = jax.lax.rsqrt(var_c + eps)
+
+    i = pl.program_id(0)
+    xhat = (x - mean_c) * inv_c                      # [N, C]
+    gamma = gamma_ref[:].astype(jnp.float32)
+    beta = beta_ref[:].astype(jnp.float32)
+    sc1 = scale_ref[pl.ds(i, 1), :].astype(jnp.float32) + 1.0    # [1, C]
+    z = (xhat * gamma + beta) * sc1 + shift_ref[pl.ds(i, 1), :].astype(jnp.float32)
+    sig = jax.nn.sigmoid(z)
+    dsilu = sig * (1.0 + z * (1.0 - sig))
+    dz = dy * dsilu                                  # [N, C]
+
+    # Parameter cotangent partials: per-batch rows for FiLM, accumulated
+    # [1, C] totals for the GN affine (grid runs sequentially on TPU).
+    dshift_ref[pl.ds(i, 1), :] = jnp.sum(dz, axis=0, keepdims=True).astype(dshift_ref.dtype)
+    pre_film = xhat * gamma + beta
+    dscale_ref[pl.ds(i, 1), :] = jnp.sum(dz * pre_film, axis=0, keepdims=True).astype(dscale_ref.dtype)
+    dyn = dz * sc1                                   # grad w.r.t. GN output
+    dgamma_i = jnp.sum(dyn * xhat, axis=0, keepdims=True)
+    dbeta_i = jnp.sum(dyn, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        dgamma_ref[:] = dgamma_i.astype(dgamma_ref.dtype)
+        dbeta_ref[:] = dbeta_i.astype(dbeta_ref.dtype)
+
+    @pl.when(i > 0)
+    def _():
+        dgamma_ref[:] = (dgamma_ref[:] + dgamma_i).astype(dgamma_ref.dtype)
+        dbeta_ref[:] = (dbeta_ref[:] + dbeta_i).astype(dbeta_ref.dtype)
+
+    # GroupNorm input gradient:
+    # dx = inv/(N*cg) * (N*cg*dxhat - sum_g(dxhat) - xhat * sum_g(dxhat*xhat))
+    dxhat = dyn * gamma                              # [N, C]
+    t12 = jnp.concatenate(
+        [
+            jnp.sum(dxhat, axis=0, keepdims=True),
+            jnp.sum(dxhat * xhat, axis=0, keepdims=True),
+        ],
+        axis=0,
+    )
+    t12c = _group_sum(t12, groups, cg, c)
+    t1c, t2c = t12c[0:1], t12c[1:2]
+    dx_ref[0] = (inv_c * (dxhat - (t1c + xhat * t2c) / denom)).astype(dx_ref.dtype)
+
+
+def _specs(b, n, c):
+    """in_specs for (x, gamma, beta, scale, shift) with grid (B,).
+
+    FiLM scale/shift ride along as full [B, C] arrays (kernels index their
+    row with program_id) — per-row (1, C) blocks violate the TPU (8, 128)
+    block-tiling rule for sub-array blocks.
+    """
+    row = lambda i: (i, 0, 0)
+    full = lambda i: (0, 0)
+    return [
+        pl.BlockSpec((1, n, c), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, c), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, c), full, memory_space=pltpu.VMEM),
+    ]
+
+
+def _fwd_call(x, gamma, beta, scale, shift, groups, eps, interpret):
+    b, n, c = x.shape
+    kern = functools.partial(_fwd_kernel, groups=groups, eps=eps, n=n, c=c)
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=_specs(b, n, c),
+        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        interpret=interpret,
+    )(
+        x,
+        gamma.reshape(1, c),
+        beta.reshape(1, c),
+        # fp32 so the kernels' dynamic per-row loads are tile-aligned for
+        # any batch index (bf16 packs 2 rows per 32-bit sublane)
+        scale.astype(jnp.float32),
+        shift.astype(jnp.float32),
+    )
+
+
+def _bwd_call(x, gamma, beta, scale, shift, dy, groups, eps, interpret):
+    b, n, c = x.shape
+    kern = functools.partial(_bwd_kernel, groups=groups, eps=eps, n=n, c=c)
+    row3 = lambda i: (i, 0, 0)
+    outs = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=_specs(b, n, c)
+        + [pl.BlockSpec((1, n, c), row3, memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((1, n, c), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), x.dtype),
+            jax.ShapeDtypeStruct((1, c), x.dtype),
+            jax.ShapeDtypeStruct((1, c), x.dtype),
+            jax.ShapeDtypeStruct((b, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, gamma.reshape(1, c), beta.reshape(1, c),
+      scale.astype(jnp.float32), shift.astype(jnp.float32), dy)
+    return outs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _gn_film_silu_pallas(x, gamma, beta, scale, shift, groups, eps, interpret):
+    return _fwd_call(x, gamma, beta, scale, shift, groups, eps, interpret)
+
+
+def _gn_fwd(x, gamma, beta, scale, shift, groups, eps, interpret):
+    y = _fwd_call(x, gamma, beta, scale, shift, groups, eps, interpret)
+    return y, (x, gamma, beta, scale, shift)
+
+
+def _gn_bwd(groups, eps, interpret, res, dy):
+    x, gamma, beta, scale, shift = res
+    dx, dgamma, dbeta, dscale_b, dshift_b = _bwd_call(
+        x, gamma, beta, scale, shift, dy, groups, eps, interpret
+    )
+    return (
+        dx,
+        dgamma.reshape(-1),
+        dbeta.reshape(-1),
+        dscale_b.astype(scale.dtype),
+        dshift_b.astype(shift.dtype),
+    )
+
+
+_gn_film_silu_pallas.defvjp(_gn_fwd, _gn_bwd)
+
+
+def group_norm_film_silu(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    scale: Optional[jax.Array] = None,
+    shift: Optional[jax.Array] = None,
+    groups: int = 8,
+    eps: float = 1e-5,
+    force_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Fused GroupNorm -> FiLM (x*(scale+1)+shift) -> SiLU.
+
+    x: [B, ..., C] (any spatial shape); gamma/beta: [C]; scale/shift: [B, C]
+    or None. Uses the Pallas kernel on TPU, plain XLA elsewhere.
+    """
+    orig_shape = x.shape
+    b, c = x.shape[0], x.shape[-1]
+    if c % groups:
+        raise ValueError(f"channels {c} not divisible by groups {groups}")
+    use_pallas = (
+        force_pallas
+        if force_pallas is not None
+        else jax.default_backend() == "tpu"
+    )
+    no_film = scale is None
+    if no_film:
+        scale = jnp.zeros((b, c), x.dtype)
+        shift = jnp.zeros((b, c), x.dtype)
+    else:
+        scale = scale.reshape(b, c).astype(x.dtype)
+        shift = shift.reshape(b, c).astype(x.dtype)
+    if not use_pallas:
+        y = _reference_impl(
+            x.reshape(b, -1, c), gamma, beta,
+            None if no_film else scale, None if no_film else shift,
+            groups, eps,
+        )
+        return y.reshape(orig_shape)
+    xf = x.reshape(b, -1, c)
+    y = _gn_film_silu_pallas(
+        xf, gamma.astype(x.dtype), beta.astype(x.dtype), scale, shift,
+        groups, eps, False,
+    )
+    return y.reshape(orig_shape)
