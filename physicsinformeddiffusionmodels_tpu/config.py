@@ -66,7 +66,10 @@ class RunConfig:
     mesh_dp: Optional[int] = None  # default: all devices
     mesh_tp: int = 1
     # --- compute dtype ('float32' | 'bfloat16' for model compute) ---
-    compute_dtype: str = "float32"
+    # bfloat16 activations/convs with float32 params & loss — the TPU-native
+    # default (MXU-rate matmuls, half the HBM traffic). float32 available
+    # for strict-numerics comparison runs.
+    compute_dtype: str = "bfloat16"
 
     def __post_init__(self):
         use_ddim = self.x0_estimation == "sample"

@@ -54,96 +54,147 @@ def _group_sum(v, groups: int, cg: int, c: int):
     return jnp.dot(v, mask, preferred_element_type=jnp.float32)
 
 
+def _choose_tile(n: int) -> int:
+    for t in (512, 256, 128):
+        if n % t == 0:
+            return t
+    return n
+
+
 def _fwd_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref,
-                *, groups: int, eps: float, n: int, c: int):
-    """One grid step = one batch element: x block is [1, N, C]."""
-    x = x_ref[0].astype(jnp.float32)  # stats in fp32 even for bf16 inputs
+                *, groups: int, eps: float, n: int, c: int, tile: int):
+    """One grid step = one batch element: x block is [1, N, C].
+
+    Token-tiled internally so live fp32 temporaries are bounded by the tile
+    size (the full-N working set of ~10 temporaries blows the 16MB scoped
+    VMEM limit at fp32 level-1 shapes); the x block itself is VMEM-resident,
+    so tile re-reads cost nothing in HBM traffic.
+    """
+    i = pl.program_id(0)
     cg = c // groups
-    # Channel-wise first and second moments over tokens, then group-summed
-    # back onto channels in one masked matmul -> [2, C]
-    s12 = jnp.concatenate(
-        [jnp.sum(x, axis=0, keepdims=True), jnp.sum(x * x, axis=0, keepdims=True)],
-        axis=0,
-    )
-    s12c = _group_sum(s12, groups, cg, c)
+    n_tiles = n // tile
+
+    def stats_body(j, carry):
+        s1, s2 = carry
+        xt = x_ref[0, pl.ds(j * tile, tile), :].astype(jnp.float32)
+        return (
+            s1 + jnp.sum(xt, axis=0, keepdims=True),
+            s2 + jnp.sum(xt * xt, axis=0, keepdims=True),
+        )
+
+    s0 = jnp.zeros((1, c), jnp.float32)
+    s1, s2 = jax.lax.fori_loop(0, n_tiles, stats_body, (s0, s0))
+    s12c = _group_sum(jnp.concatenate([s1, s2], axis=0), groups, cg, c)
     denom = float(n * cg)
     mean_c = s12c[0:1] / denom
     var_c = s12c[1:2] / denom - mean_c * mean_c
     inv_c = jax.lax.rsqrt(var_c + eps)
     # Fold GN affine + FiLM into a single per-channel multiply-add: y = x*a + b.
-    i = pl.program_id(0)
     gamma = gamma_ref[:].astype(jnp.float32)
     sc1 = scale_ref[pl.ds(i, 1), :].astype(jnp.float32) + 1.0
     a = inv_c * gamma * sc1
     bb = (beta_ref[:].astype(jnp.float32) - mean_c * inv_c * gamma) * sc1 \
         + shift_ref[pl.ds(i, 1), :].astype(jnp.float32)
-    y = x * a + bb
-    o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+
+    def out_body(j, _):
+        sl = pl.ds(j * tile, tile)
+        xt = x_ref[0, sl, :].astype(jnp.float32)
+        y = xt * a + bb
+        o_ref[0, sl, :] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, out_body, 0)
 
 
 def _bwd_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, dy_ref,
                 dx_ref, dgamma_ref, dbeta_ref, dscale_ref, dshift_ref,
-                *, groups: int, eps: float, n: int, c: int):
+                *, groups: int, eps: float, n: int, c: int, tile: int):
     """Recompute forward stats, then chain SiLU' -> FiLM -> GroupNorm'.
 
-    dscale/dshift are per-batch rows of a full [B, C] output; dgamma/dbeta
-    are [1, C] accumulators carried across the (sequential) TPU grid.
+    Token-tiled like the forward. dscale/dshift are per-batch rows of a full
+    [B, C] output; dgamma/dbeta are [1, C] accumulators carried across the
+    (sequential) TPU grid.
     """
-    x = x_ref[0].astype(jnp.float32)
-    dy = dy_ref[0].astype(jnp.float32)
+    i = pl.program_id(0)
     cg = c // groups
-    s12 = jnp.concatenate(
-        [jnp.sum(x, axis=0, keepdims=True), jnp.sum(x * x, axis=0, keepdims=True)],
-        axis=0,
-    )
-    s12c = _group_sum(s12, groups, cg, c)
+    n_tiles = n // tile
     denom = float(n * cg)
+
+    def stats_body(j, carry):
+        s1, s2 = carry
+        xt = x_ref[0, pl.ds(j * tile, tile), :].astype(jnp.float32)
+        return (
+            s1 + jnp.sum(xt, axis=0, keepdims=True),
+            s2 + jnp.sum(xt * xt, axis=0, keepdims=True),
+        )
+
+    s0 = jnp.zeros((1, c), jnp.float32)
+    s1, s2 = jax.lax.fori_loop(0, n_tiles, stats_body, (s0, s0))
+    s12c = _group_sum(jnp.concatenate([s1, s2], axis=0), groups, cg, c)
     mean_c = s12c[0:1] / denom
     var_c = s12c[1:2] / denom - mean_c * mean_c
     inv_c = jax.lax.rsqrt(var_c + eps)
 
-    i = pl.program_id(0)
-    xhat = (x - mean_c) * inv_c                      # [N, C]
     gamma = gamma_ref[:].astype(jnp.float32)
     beta = beta_ref[:].astype(jnp.float32)
-    sc1 = scale_ref[pl.ds(i, 1), :].astype(jnp.float32) + 1.0    # [1, C]
-    z = (xhat * gamma + beta) * sc1 + shift_ref[pl.ds(i, 1), :].astype(jnp.float32)
-    sig = jax.nn.sigmoid(z)
-    dsilu = sig * (1.0 + z * (1.0 - sig))
-    dz = dy * dsilu                                  # [N, C]
+    sc1 = scale_ref[pl.ds(i, 1), :].astype(jnp.float32) + 1.0
+    shift = shift_ref[pl.ds(i, 1), :].astype(jnp.float32)
 
-    # Parameter cotangent partials: per-batch rows for FiLM, accumulated
-    # [1, C] totals for the GN affine (grid runs sequentially on TPU).
-    dshift_ref[pl.ds(i, 1), :] = jnp.sum(dz, axis=0, keepdims=True).astype(dshift_ref.dtype)
-    pre_film = xhat * gamma + beta
-    dscale_ref[pl.ds(i, 1), :] = jnp.sum(dz * pre_film, axis=0, keepdims=True).astype(dscale_ref.dtype)
-    dyn = dz * sc1                                   # grad w.r.t. GN output
-    dgamma_i = jnp.sum(dyn * xhat, axis=0, keepdims=True)
-    dbeta_i = jnp.sum(dyn, axis=0, keepdims=True)
+    def tile_chain(j):
+        """Recompute dz, xhat, dyn, dxhat for tile j from resident x/dy."""
+        sl = pl.ds(j * tile, tile)
+        x = x_ref[0, sl, :].astype(jnp.float32)
+        dy = dy_ref[0, sl, :].astype(jnp.float32)
+        xhat = (x - mean_c) * inv_c
+        z = (xhat * gamma + beta) * sc1 + shift
+        sig = jax.nn.sigmoid(z)
+        dz = dy * (sig * (1.0 + z * (1.0 - sig)))
+        dyn = dz * sc1
+        dxhat = dyn * gamma
+        return xhat, dz, dyn, dxhat
+
+    # Pass 2: all the [1, C] token reductions.
+    def acc_body(j, carry):
+        t1, t2, dsh, dsc, dg, db = carry
+        xhat, dz, dyn, dxhat = tile_chain(j)
+        t1 = t1 + jnp.sum(dxhat, axis=0, keepdims=True)
+        t2 = t2 + jnp.sum(dxhat * xhat, axis=0, keepdims=True)
+        dsh = dsh + jnp.sum(dz, axis=0, keepdims=True)
+        dsc = dsc + jnp.sum(dz * (xhat * gamma + beta), axis=0, keepdims=True)
+        dg = dg + jnp.sum(dyn * xhat, axis=0, keepdims=True)
+        db = db + jnp.sum(dyn, axis=0, keepdims=True)
+        return t1, t2, dsh, dsc, dg, db
+
+    t1, t2, dsh, dsc, dg, db = jax.lax.fori_loop(
+        0, n_tiles, acc_body, (s0, s0, s0, s0, s0, s0)
+    )
+    dshift_ref[pl.ds(i, 1), :] = dsh.astype(dshift_ref.dtype)
+    dscale_ref[pl.ds(i, 1), :] = dsc.astype(dscale_ref.dtype)
 
     @pl.when(i == 0)
     def _():
-        dgamma_ref[:] = dgamma_i.astype(dgamma_ref.dtype)
-        dbeta_ref[:] = dbeta_i.astype(dbeta_ref.dtype)
+        dgamma_ref[:] = dg.astype(dgamma_ref.dtype)
+        dbeta_ref[:] = db.astype(dbeta_ref.dtype)
 
     @pl.when(i > 0)
     def _():
-        dgamma_ref[:] = (dgamma_ref[:] + dgamma_i).astype(dgamma_ref.dtype)
-        dbeta_ref[:] = (dbeta_ref[:] + dbeta_i).astype(dbeta_ref.dtype)
+        dgamma_ref[:] = (dgamma_ref[:] + dg).astype(dgamma_ref.dtype)
+        dbeta_ref[:] = (dbeta_ref[:] + db).astype(dbeta_ref.dtype)
 
-    # GroupNorm input gradient:
-    # dx = inv/(N*cg) * (N*cg*dxhat - sum_g(dxhat) - xhat * sum_g(dxhat*xhat))
-    dxhat = dyn * gamma                              # [N, C]
-    t12 = jnp.concatenate(
-        [
-            jnp.sum(dxhat, axis=0, keepdims=True),
-            jnp.sum(dxhat * xhat, axis=0, keepdims=True),
-        ],
-        axis=0,
-    )
-    t12c = _group_sum(t12, groups, cg, c)
+    t12c = _group_sum(jnp.concatenate([t1, t2], axis=0), groups, cg, c)
     t1c, t2c = t12c[0:1], t12c[1:2]
-    dx_ref[0] = (inv_c * (dxhat - (t1c + xhat * t2c) / denom)).astype(dx_ref.dtype)
+
+    # Pass 3: dx tiles.
+    # dx = inv * (dxhat - (sum_g(dxhat) + xhat * sum_g(dxhat*xhat)) / (N*cg))
+    def dx_body(j, _):
+        sl = pl.ds(j * tile, tile)
+        xhat, dz, dyn, dxhat = tile_chain(j)
+        dx_ref[0, sl, :] = (
+            inv_c * (dxhat - (t1c + xhat * t2c) / denom)
+        ).astype(dx_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, dx_body, 0)
 
 
 def _specs(b, n, c):
@@ -166,7 +217,7 @@ def _specs(b, n, c):
 
 def _fwd_call(x, gamma, beta, scale, shift, groups, eps, interpret):
     b, n, c = x.shape
-    kern = functools.partial(_fwd_kernel, groups=groups, eps=eps, n=n, c=c)
+    kern = functools.partial(_fwd_kernel, groups=groups, eps=eps, n=n, c=c, tile=_choose_tile(n))
     return pl.pallas_call(
         kern,
         grid=(b,),
@@ -187,7 +238,7 @@ def _fwd_call(x, gamma, beta, scale, shift, groups, eps, interpret):
 
 def _bwd_call(x, gamma, beta, scale, shift, dy, groups, eps, interpret):
     b, n, c = x.shape
-    kern = functools.partial(_bwd_kernel, groups=groups, eps=eps, n=n, c=c)
+    kern = functools.partial(_bwd_kernel, groups=groups, eps=eps, n=n, c=c, tile=_choose_tile(n))
     row3 = lambda i: (i, 0, 0)
     outs = pl.pallas_call(
         kern,
