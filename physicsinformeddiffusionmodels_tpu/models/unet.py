@@ -101,12 +101,21 @@ class Conv2dPadded(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = _pad2d(x, self.pad, self.padding_mode)
+        if self.padding_mode == "circular":
+            # explicit wrap-pad + VALID (torch padding_mode='circular')
+            x = _pad2d(x, self.pad, self.padding_mode)
+            padding = "VALID"
+        else:
+            # XLA pads inside the conv — an explicit jnp.pad materializes a
+            # copy of every activation (measured ~6ms/step of pure copies).
+            # For k=3/7 s=1 p=k//2 and k=4 s=2 p=1, 'SAME' is the identical
+            # geometry.
+            padding = "SAME"
         return nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="VALID",
+            padding=padding,
             dtype=self.dtype,
         )(x)
 

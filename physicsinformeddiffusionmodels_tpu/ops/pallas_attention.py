@@ -72,6 +72,20 @@ def linear_attention_reference(x, w_qkv, w_out, heads: int, dim_head: int):
     return out.reshape(b, n, h) @ w_out
 
 
+
+def _mm(a, b, md):
+    """MXU matmul in dtype ``md`` (the caller's compute dtype — bf16 runs at
+    4x the fp32 MXU rate on v5e) with fp32 accumulation."""
+    return jnp.dot(a.astype(md), b.astype(md), preferred_element_type=jnp.float32)
+
+
+def _dg(a, b, dims, md):
+    return jax.lax.dot_general(
+        a.astype(md), b.astype(md), dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+
+
 # --------------------------------------------------------------------------
 # forward kernel
 # --------------------------------------------------------------------------
@@ -81,15 +95,16 @@ def _fwd_kernel(xt_ref, wqkv_ref, wout_ref, o_ref,
                 *, heads: int, dh: int, n: int, c: int, tile: int):
     """One grid step = one batch row. xt: [1, C, N] channel-major."""
     H = heads * dh
-    w = wqkv_ref[:].astype(jnp.float32)  # [3H, C]
+    md = xt_ref.dtype  # matmul dtype follows the caller's compute dtype
+    w = wqkv_ref[:]  # [3H, C]
     n_tiles = n // tile
     scale = dh**-0.5
 
     def kv_tile(i):
         sl = pl.ds(i * tile, tile)
-        xtile = xt_ref[0, :, sl].astype(jnp.float32)  # [C, T]
-        kT = jnp.dot(w[H:2 * H], xtile, preferred_element_type=jnp.float32)
-        vT = jnp.dot(w[2 * H:], xtile, preferred_element_type=jnp.float32)
+        xtile = xt_ref[0, :, sl]                      # [C, T]
+        kT = _mm(w[H:2 * H], xtile, md)
+        vT = _mm(w[2 * H:], xtile, md)
         return kT.reshape(heads, dh, tile), vT.reshape(heads, dh, tile)
 
     # Phase A: streamed token-softmax of k + context accumulation.
@@ -100,11 +115,7 @@ def _fwd_kernel(xt_ref, wqkv_ref, wout_ref, o_ref,
         alpha = jnp.exp(m - m_new)
         ek = jnp.exp(kT - m_new)
         z = z * alpha + jnp.sum(ek, axis=2, keepdims=True)
-        ctx = ctx * alpha + jax.lax.dot_general(
-            ek, vT,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+        ctx = ctx * alpha + _dg(ek, vT, (((2,), (2,)), ((0,), (0,))), md)
         return m_new, z, ctx
 
     m0 = jnp.full((heads, dh, 1), -jnp.inf, jnp.float32)
@@ -114,23 +125,19 @@ def _fwd_kernel(xt_ref, wqkv_ref, wout_ref, o_ref,
     # fold the k normalizer and the v/N scaling into ctx
     ctx = ctx / (z * float(n))                        # [h, d, e]
 
-    wo = wout_ref[:].astype(jnp.float32)              # [C, H] (transposed W_out)
+    wo = wout_ref[:]                                  # [C, H] (transposed W_out)
 
     # Phase B: q softmax per token + output projection, tile by tile.
     def body_b(i, _):
         sl = pl.ds(i * tile, tile)
-        xtile = xt_ref[0, :, sl].astype(jnp.float32)
-        qT = jnp.dot(w[:H], xtile, preferred_element_type=jnp.float32)
+        xtile = xt_ref[0, :, sl]
+        qT = _mm(w[:H], xtile, md)
         qT = qT.reshape(heads, dh, tile)
         qmx = jnp.max(qT, axis=1, keepdims=True)      # softmax over d (axis 1)
         eq = jnp.exp(qT - qmx)
         p = eq / jnp.sum(eq, axis=1, keepdims=True) * scale
-        yT = jax.lax.dot_general(
-            ctx, p,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                             # [h, e, T]
-        oT = jnp.dot(wo, yT.reshape(H, tile), preferred_element_type=jnp.float32)
+        yT = _dg(ctx, p, (((1,), (1,)), ((0,), (0,))), md)  # [h, e, T]
+        oT = _mm(wo, yT.reshape(H, tile), md)
         o_ref[0, :, sl] = oT.astype(o_ref.dtype)
         return 0
 
@@ -153,16 +160,17 @@ def _bwd_kernel(xt_ref, wqkv_ref, wout_ref, dyt_ref,
     """
     H = heads * dh
     b_idx = pl.program_id(0)
-    w = wqkv_ref[:].astype(jnp.float32)
-    wo = wout_ref[:].astype(jnp.float32)              # [C, H]
+    md = xt_ref.dtype
+    w = wqkv_ref[:]
+    wo = wout_ref[:]                                  # [C, H]
     n_tiles = n // tile
     scale = dh**-0.5
 
     def kv_tile(i):
         sl = pl.ds(i * tile, tile)
-        xtile = xt_ref[0, :, sl].astype(jnp.float32)
-        kT = jnp.dot(w[H:2 * H], xtile, preferred_element_type=jnp.float32)
-        vT = jnp.dot(w[2 * H:], xtile, preferred_element_type=jnp.float32)
+        xtile = xt_ref[0, :, sl]
+        kT = _mm(w[H:2 * H], xtile, md)
+        vT = _mm(w[2 * H:], xtile, md)
         return xtile, kT.reshape(heads, dh, tile), vT.reshape(heads, dh, tile)
 
     # ---- Phase A: recompute m, z, ctx (as in forward) ----
@@ -173,10 +181,7 @@ def _bwd_kernel(xt_ref, wqkv_ref, wout_ref, dyt_ref,
         alpha = jnp.exp(m - m_new)
         ek = jnp.exp(kT - m_new)
         z = z * alpha + jnp.sum(ek, axis=2, keepdims=True)
-        ctx = ctx * alpha + jax.lax.dot_general(
-            ek, vT, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+        ctx = ctx * alpha + _dg(ek, vT, (((2,), (2,)), ((0,), (0,))), md)
         return m_new, z, ctx
 
     m0 = jnp.full((heads, dh, 1), -jnp.inf, jnp.float32)
@@ -190,45 +195,33 @@ def _bwd_kernel(xt_ref, wqkv_ref, wout_ref, dyt_ref,
     def body_b(i, carry):
         dctx, dwq, dwout = carry
         sl = pl.ds(i * tile, tile)
-        xtile = xt_ref[0, :, sl].astype(jnp.float32)
-        dytile = dyt_ref[0, :, sl].astype(jnp.float32)  # [C, T]
-        qT = jnp.dot(w[:H], xtile, preferred_element_type=jnp.float32)
+        xtile = xt_ref[0, :, sl]
+        dytile = dyt_ref[0, :, sl]                    # [C, T]
+        qT = _mm(w[:H], xtile, md)
         qT = qT.reshape(heads, dh, tile)
         qmx = jnp.max(qT, axis=1, keepdims=True)
         eq = jnp.exp(qT - qmx)
         P = eq / jnp.sum(eq, axis=1, keepdims=True)   # [h, d, T]
         qt = P * scale
         # y = ctx^T q~ : [h, e, T]
-        yT = jax.lax.dot_general(
-            ctx, qt, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+        yT = _dg(ctx, qt, (((1,), (1,)), ((0,), (0,))), md)
         # dW_out += y dyt^T : [C, H] uses (dyt [C,T]) @ (y [H,T])^T
-        dwout = dwout + jnp.dot(
-            dytile, yT.reshape(H, tile).T, preferred_element_type=jnp.float32
-        )
+        dwout = dwout + _mm(dytile, yT.reshape(H, tile).T, md)
         # dy (pre out-projection): [H, T] = wo^T dyt
-        dyh = jnp.dot(wo.T, dytile, preferred_element_type=jnp.float32)
+        dyh = _mm(wo.T, dytile, md)
         dyh = dyh.reshape(heads, dh, tile)            # [h, e, T]
         # dq~ = ctx dy : [h, d, T]
-        dqt = jax.lax.dot_general(
-            ctx, dyh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        )
+        dqt = _dg(ctx, dyh, (((2,), (1,)), ((0,), (0,))), md)
         # dctx += q~ dy^T over tokens: [h, d, e]
-        dctx = dctx + jax.lax.dot_general(
-            qt, dyh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+        dctx = dctx + _dg(qt, dyh, (((2,), (2,)), ((0,), (0,))), md)
         # softmax (over d) VJP: dA = P ⊙ (s·dq~ - sum_d(s·dq~ ⊙ P))
         g = dqt * scale
         dA = P * (g - jnp.sum(g * P, axis=1, keepdims=True))  # [h, d, T]
         dA2 = dA.reshape(H, tile)
         # dx partial (q path): W_q^T dA -> [C, T]
-        dxt_ref[0, :, sl] = jnp.dot(
-            w[:H].T, dA2, preferred_element_type=jnp.float32
-        ).astype(dxt_ref.dtype)
+        dxt_ref[0, :, sl] = _mm(w[:H].T, dA2, md).astype(dxt_ref.dtype)
         # dW_q += dA x^T : [H, C]
-        dwq = dwq + jnp.dot(dA2, xtile.T, preferred_element_type=jnp.float32)
+        dwq = dwq + _mm(dA2, xtile.T, md)
         return dctx, dwq, dwout
 
     dctx0 = jnp.zeros((heads, dh, dh), jnp.float32)
@@ -256,25 +249,21 @@ def _bwd_kernel(xt_ref, wqkv_ref, wout_ref, dyt_ref,
         Kp = jnp.exp(kT - m) / z                      # true softmax [h, d, T]
         vn = vT / float(n)
         # dK' = v~ dctx^T : [h, d, T] = dctx [h,d,e] @ vn [h,e,T]
-        dKp = jax.lax.dot_general(
-            dctx, vn, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        )
+        dKp = _dg(dctx, vn, (((2,), (1,)), ((0,), (0,))), md)
         dk = Kp * (dKp - row)                         # [h, d, T]
         # dv~ = K' dctx : [h, e, T]; dv = dv~ / N
-        dvn = jax.lax.dot_general(
-            dctx, Kp, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        )
+        dvn = _dg(dctx, Kp, (((1,), (1,)), ((0,), (0,))), md)
         dv = dvn / float(n)
         dk2 = dk.reshape(H, tile)
         dv2 = dv.reshape(H, tile)
         # dx += W_k^T dk + W_v^T dv
         dxt_ref[0, :, sl] = (
             dxt_ref[0, :, sl].astype(jnp.float32)
-            + jnp.dot(w[H:2 * H].T, dk2, preferred_element_type=jnp.float32)
-            + jnp.dot(w[2 * H:].T, dv2, preferred_element_type=jnp.float32)
+            + _mm(w[H:2 * H].T, dk2, md)
+            + _mm(w[2 * H:].T, dv2, md)
         ).astype(dxt_ref.dtype)
-        dwk = dwk + jnp.dot(dk2, xtile.T, preferred_element_type=jnp.float32)
-        dwv = dwv + jnp.dot(dv2, xtile.T, preferred_element_type=jnp.float32)
+        dwk = dwk + _mm(dk2, xtile.T, md)
+        dwv = dwv + _mm(dv2, xtile.T, md)
         return dwk, dwv
 
     dwk0 = jnp.zeros((H, c), jnp.float32)
@@ -317,6 +306,9 @@ def _fwd_call(xt, w_qkvT, w_outT, heads, dh, interpret):
         out_specs=pl.BlockSpec((1, c, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, n), xt.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20
+        ),
     )(xt, w_qkvT, w_outT)
 
 
@@ -347,6 +339,9 @@ def _bwd_call(xt, w_qkvT, w_outT, dyt, heads, dh, interpret):
             jax.ShapeDtypeStruct((c, H), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20
+        ),
     )(xt, w_qkvT, w_outT, dyt)
 
 

@@ -54,177 +54,112 @@ def _group_sum(v, groups: int, cg: int, c: int):
     return jnp.dot(v, mask, preferred_element_type=jnp.float32)
 
 
-def _choose_tile(n: int) -> int:
-    for t in (512, 256, 128):
-        if n % t == 0:
-            return t
-    return n
+def _choose_bk_tile(b: int, n: int, c: int, itemsize: int = 4) -> tuple[int, int]:
+    """Pick (rows-per-grid-step, token-tile).
+
+    Bk amortizes per-grid-step overhead (a (B,) grid at batch 64 spends
+    more time in block turnaround than in math). Bk is kept a multiple of 8
+    where possible: dynamic sublane slices at non-8-multiple offsets trip a
+    Mosaic relayout bug. The token tile bounds the ~12 live fp32
+    temporaries; pallas_call raises the scoped-VMEM limit accordingly.
+    """
+    # bk > 8 trips a super-linear Mosaic stack blow-up (measured 103MB at
+    # bk=16 vs <16MB at bk=8 for the same per-row work), so 8 is the cap.
+    # bk must also be a multiple of 8 or the whole batch so the (Bk, C)
+    # FiLM blocks satisfy the sublane tiling rule; study batches are
+    # 64/16 (darcy) and 6/4 (mechanics), giving 8 / 8 / 6 / 4.
+    bk = 8 if b % 8 == 0 else b
+    tile = next((t for t in (512, 256, 128) if n % t == 0), n)
+    while bk * tile * c * 4 * 12 > 6 * 2**20 and tile > 128 and tile % 2 == 0:
+        tile //= 2
+    return bk, tile
 
 
 def _fwd_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref,
-                *, groups: int, eps: float, n: int, c: int, tile: int):
-    """One grid step = one batch element: x block is [1, N, C].
+                s1_ref, s2_ref,
+                *, groups: int, eps: float, n: int, c: int, bk: int, tile: int):
+    """One grid step = ``bk`` batch rows: x block is [Bk, N, C].
 
-    Token-tiled internally so live fp32 temporaries are bounded by the tile
-    size (the full-N working set of ~10 temporaries blows the 16MB scoped
-    VMEM limit at fp32 level-1 shapes); the x block itself is VMEM-resident,
-    so tile re-reads cost nothing in HBM traffic.
+    Token-tiled internally so live fp32 temporaries are bounded (a full-N
+    working set blows the 16MB scoped VMEM limit at fp32 level-1 shapes);
+    the x block itself is VMEM-resident, so tile re-reads cost nothing in
+    HBM traffic.
     """
-    i = pl.program_id(0)
     cg = c // groups
     n_tiles = n // tile
 
-    def stats_body(j, carry):
-        s1, s2 = carry
-        xt = x_ref[0, pl.ds(j * tile, tile), :].astype(jnp.float32)
-        return (
-            s1 + jnp.sum(xt, axis=0, keepdims=True),
-            s2 + jnp.sum(xt * xt, axis=0, keepdims=True),
-        )
+    # accumulate in VMEM scratch (loop-carried vectors trip a Mosaic
+    # relayout bug for replicated-offset layouts)
+    s1_ref[:] = jnp.zeros((bk, c), jnp.float32)
+    s2_ref[:] = jnp.zeros((bk, c), jnp.float32)
 
-    s0 = jnp.zeros((1, c), jnp.float32)
-    s1, s2 = jax.lax.fori_loop(0, n_tiles, stats_body, (s0, s0))
-    s12c = _group_sum(jnp.concatenate([s1, s2], axis=0), groups, cg, c)
+    def stats_body(j, _):
+        xt = x_ref[:, pl.ds(j * tile, tile), :].astype(jnp.float32)
+        s1_ref[:] += jnp.sum(xt, axis=1)
+        s2_ref[:] += jnp.sum(xt * xt, axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, stats_body, 0)
     denom = float(n * cg)
-    mean_c = s12c[0:1] / denom
-    var_c = s12c[1:2] / denom - mean_c * mean_c
+    mean_c = _group_sum(s1_ref[:], groups, cg, c) / denom   # [Bk, C]
+    var_c = _group_sum(s2_ref[:], groups, cg, c) / denom - mean_c * mean_c
     inv_c = jax.lax.rsqrt(var_c + eps)
     # Fold GN affine + FiLM into a single per-channel multiply-add: y = x*a + b.
-    gamma = gamma_ref[:].astype(jnp.float32)
-    sc1 = scale_ref[pl.ds(i, 1), :].astype(jnp.float32) + 1.0
-    a = inv_c * gamma * sc1
-    bb = (beta_ref[:].astype(jnp.float32) - mean_c * inv_c * gamma) * sc1 \
-        + shift_ref[pl.ds(i, 1), :].astype(jnp.float32)
+    gamma = gamma_ref[:].astype(jnp.float32)         # [1, C]
+    sc1 = scale_ref[:] + 1.0                         # [Bk, C] (fp32 block)
+    a = (inv_c * gamma * sc1)[:, None, :]
+    bb = ((beta_ref[:].astype(jnp.float32) - mean_c * inv_c * gamma) * sc1
+          + shift_ref[:])[:, None, :]
 
     def out_body(j, _):
         sl = pl.ds(j * tile, tile)
-        xt = x_ref[0, sl, :].astype(jnp.float32)
+        xt = x_ref[:, sl, :].astype(jnp.float32)
         y = xt * a + bb
-        o_ref[0, sl, :] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+        o_ref[:, sl, :] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, n_tiles, out_body, 0)
 
 
-def _bwd_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, dy_ref,
-                dx_ref, dgamma_ref, dbeta_ref, dscale_ref, dshift_ref,
-                *, groups: int, eps: float, n: int, c: int, tile: int):
-    """Recompute forward stats, then chain SiLU' -> FiLM -> GroupNorm'.
+def _specs(b, n, c, bk):
+    """in_specs for (x, gamma, beta, scale, shift) with grid (B // Bk,).
 
-    Token-tiled like the forward. dscale/dshift are per-batch rows of a full
-    [B, C] output; dgamma/dbeta are [1, C] accumulators carried across the
-    (sequential) TPU grid.
+    FiLM scale/shift are fp32 (Bk, C) blocks — valid because the chooser
+    keeps Bk a multiple of 8 or equal to B, satisfying the TPU sublane
+    block-tiling rule.
     """
-    i = pl.program_id(0)
-    cg = c // groups
-    n_tiles = n // tile
-    denom = float(n * cg)
-
-    def stats_body(j, carry):
-        s1, s2 = carry
-        xt = x_ref[0, pl.ds(j * tile, tile), :].astype(jnp.float32)
-        return (
-            s1 + jnp.sum(xt, axis=0, keepdims=True),
-            s2 + jnp.sum(xt * xt, axis=0, keepdims=True),
-        )
-
-    s0 = jnp.zeros((1, c), jnp.float32)
-    s1, s2 = jax.lax.fori_loop(0, n_tiles, stats_body, (s0, s0))
-    s12c = _group_sum(jnp.concatenate([s1, s2], axis=0), groups, cg, c)
-    mean_c = s12c[0:1] / denom
-    var_c = s12c[1:2] / denom - mean_c * mean_c
-    inv_c = jax.lax.rsqrt(var_c + eps)
-
-    gamma = gamma_ref[:].astype(jnp.float32)
-    beta = beta_ref[:].astype(jnp.float32)
-    sc1 = scale_ref[pl.ds(i, 1), :].astype(jnp.float32) + 1.0
-    shift = shift_ref[pl.ds(i, 1), :].astype(jnp.float32)
-
-    def tile_chain(j):
-        """Recompute dz, xhat, dyn, dxhat for tile j from resident x/dy."""
-        sl = pl.ds(j * tile, tile)
-        x = x_ref[0, sl, :].astype(jnp.float32)
-        dy = dy_ref[0, sl, :].astype(jnp.float32)
-        xhat = (x - mean_c) * inv_c
-        z = (xhat * gamma + beta) * sc1 + shift
-        sig = jax.nn.sigmoid(z)
-        dz = dy * (sig * (1.0 + z * (1.0 - sig)))
-        dyn = dz * sc1
-        dxhat = dyn * gamma
-        return xhat, dz, dyn, dxhat
-
-    # Pass 2: all the [1, C] token reductions.
-    def acc_body(j, carry):
-        t1, t2, dsh, dsc, dg, db = carry
-        xhat, dz, dyn, dxhat = tile_chain(j)
-        t1 = t1 + jnp.sum(dxhat, axis=0, keepdims=True)
-        t2 = t2 + jnp.sum(dxhat * xhat, axis=0, keepdims=True)
-        dsh = dsh + jnp.sum(dz, axis=0, keepdims=True)
-        dsc = dsc + jnp.sum(dz * (xhat * gamma + beta), axis=0, keepdims=True)
-        dg = dg + jnp.sum(dyn * xhat, axis=0, keepdims=True)
-        db = db + jnp.sum(dyn, axis=0, keepdims=True)
-        return t1, t2, dsh, dsc, dg, db
-
-    t1, t2, dsh, dsc, dg, db = jax.lax.fori_loop(
-        0, n_tiles, acc_body, (s0, s0, s0, s0, s0, s0)
-    )
-    dshift_ref[pl.ds(i, 1), :] = dsh.astype(dshift_ref.dtype)
-    dscale_ref[pl.ds(i, 1), :] = dsc.astype(dscale_ref.dtype)
-
-    @pl.when(i == 0)
-    def _():
-        dgamma_ref[:] = dg.astype(dgamma_ref.dtype)
-        dbeta_ref[:] = db.astype(dbeta_ref.dtype)
-
-    @pl.when(i > 0)
-    def _():
-        dgamma_ref[:] = (dgamma_ref[:] + dg).astype(dgamma_ref.dtype)
-        dbeta_ref[:] = (dbeta_ref[:] + db).astype(dbeta_ref.dtype)
-
-    t12c = _group_sum(jnp.concatenate([t1, t2], axis=0), groups, cg, c)
-    t1c, t2c = t12c[0:1], t12c[1:2]
-
-    # Pass 3: dx tiles.
-    # dx = inv * (dxhat - (sum_g(dxhat) + xhat * sum_g(dxhat*xhat)) / (N*cg))
-    def dx_body(j, _):
-        sl = pl.ds(j * tile, tile)
-        xhat, dz, dyn, dxhat = tile_chain(j)
-        dx_ref[0, sl, :] = (
-            inv_c * (dxhat - (t1c + xhat * t2c) / denom)
-        ).astype(dx_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, n_tiles, dx_body, 0)
-
-
-def _specs(b, n, c):
-    """in_specs for (x, gamma, beta, scale, shift) with grid (B,).
-
-    FiLM scale/shift ride along as full [B, C] arrays (kernels index their
-    row with program_id) — per-row (1, C) blocks violate the TPU (8, 128)
-    block-tiling rule for sub-array blocks.
-    """
-    row = lambda i: (i, 0, 0)
+    blk = lambda i: (i, 0, 0)
+    row = lambda i: (i, 0)
     full = lambda i: (0, 0)
     return [
-        pl.BlockSpec((1, n, c), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, n, c), blk, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, c), full, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, c), full, memory_space=pltpu.VMEM),
-        pl.BlockSpec((b, c), full, memory_space=pltpu.VMEM),
-        pl.BlockSpec((b, c), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, c), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, c), row, memory_space=pltpu.VMEM),
     ]
 
 
 def _fwd_call(x, gamma, beta, scale, shift, groups, eps, interpret):
     b, n, c = x.shape
-    kern = functools.partial(_fwd_kernel, groups=groups, eps=eps, n=n, c=c, tile=_choose_tile(n))
+    bk, tile = _choose_bk_tile(b, n, c, x.dtype.itemsize)
+    kern = functools.partial(
+        _fwd_kernel, groups=groups, eps=eps, n=n, c=c, bk=bk, tile=tile
+    )
     return pl.pallas_call(
         kern,
-        grid=(b,),
-        in_specs=_specs(b, n, c),
-        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        grid=(b // bk,),
+        in_specs=_specs(b, n, c, bk),
+        out_specs=pl.BlockSpec((bk, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bk, c), jnp.float32),
+            pltpu.VMEM((bk, c), jnp.float32),
+        ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20
+        ),
     )(
         x,
         gamma.reshape(1, c),
@@ -234,35 +169,6 @@ def _fwd_call(x, gamma, beta, scale, shift, groups, eps, interpret):
         scale.astype(jnp.float32),
         shift.astype(jnp.float32),
     )
-
-
-def _bwd_call(x, gamma, beta, scale, shift, dy, groups, eps, interpret):
-    b, n, c = x.shape
-    kern = functools.partial(_bwd_kernel, groups=groups, eps=eps, n=n, c=c, tile=_choose_tile(n))
-    row3 = lambda i: (i, 0, 0)
-    outs = pl.pallas_call(
-        kern,
-        grid=(b,),
-        in_specs=_specs(b, n, c)
-        + [pl.BlockSpec((1, n, c), row3, memory_space=pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec((1, n, c), row3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n, c), x.dtype),
-            jax.ShapeDtypeStruct((1, c), x.dtype),
-            jax.ShapeDtypeStruct((1, c), x.dtype),
-            jax.ShapeDtypeStruct((b, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, c), jnp.float32),
-        ],
-        interpret=interpret,
-    )(x, gamma.reshape(1, c), beta.reshape(1, c),
-      scale.astype(jnp.float32), shift.astype(jnp.float32), dy)
-    return outs
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -276,16 +182,54 @@ def _gn_fwd(x, gamma, beta, scale, shift, groups, eps, interpret):
 
 
 def _gn_bwd(groups, eps, interpret, res, dy):
+    """Backward in plain XLA.
+
+    A Pallas backward was tried and measured SLOWER than XLA's fusion of
+    the same math (1.08ms vs ~0.4ms per level-1 block on v5e): the
+    three-pass token-tiled recompute is VPU/loop-overhead-bound, while XLA
+    emits two well-pipelined fusions. The forward stays a fused Pallas
+    kernel (single HBM pass); the backward recomputes the normalization
+    statistics from the saved input.
+    """
     x, gamma, beta, scale, shift = res
-    dx, dgamma, dbeta, dscale_b, dshift_b = _bwd_call(
-        x, gamma, beta, scale, shift, dy, groups, eps, interpret
-    )
+    b, n, c = x.shape
+    xf = x.astype(jnp.float32)
+    groups_ = groups
+    xg = xf.reshape(b, n, groups_, c // groups_)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = ((xg - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = ((xg - mean) * inv).reshape(b, n, c)
+
+    gamma32 = gamma.astype(jnp.float32)
+    beta32 = beta.astype(jnp.float32)
+    sc1 = scale.astype(jnp.float32)[:, None, :] + 1.0
+    sh = shift.astype(jnp.float32)[:, None, :]
+    pre_film = xhat * gamma32 + beta32
+    z = pre_film * sc1 + sh
+    sig = jax.nn.sigmoid(z)
+    dz = dy.astype(jnp.float32) * (sig * (1.0 + z * (1.0 - sig)))
+
+    dshift = jnp.sum(dz, axis=1)
+    dscale = jnp.sum(dz * pre_film, axis=1)
+    dyn = dz * sc1
+    dgamma = jnp.sum(dyn * xhat, axis=(0, 1))
+    dbeta = jnp.sum(dyn, axis=(0, 1))
+
+    dxhat = dyn * gamma32
+    dg = dxhat.reshape(b, n, groups_, c // groups_)
+    xg_hat = xhat.reshape(b, n, groups_, c // groups_)
+    t1 = jnp.sum(dg, axis=(1, 3), keepdims=True)
+    t2 = jnp.sum(dg * xg_hat, axis=(1, 3), keepdims=True)
+    denom = n * (c // groups_)
+    dxg = inv * (dg - (t1 + xg_hat * t2) / denom)
+    dx = dxg.reshape(b, n, c).astype(x.dtype)
     return (
         dx,
-        dgamma.reshape(-1),
-        dbeta.reshape(-1),
-        dscale_b.astype(scale.dtype),
-        dshift_b.astype(shift.dtype),
+        dgamma.astype(gamma.dtype),
+        dbeta.astype(beta.dtype),
+        dscale.astype(scale.dtype),
+        dshift.astype(shift.dtype),
     )
 
 

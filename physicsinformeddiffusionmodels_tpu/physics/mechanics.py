@@ -161,6 +161,9 @@ class MechanicsResidual:
 
         rho_e: [B, nels] element densities; u: [B, neq].
         """
+        # FEM algebra in fp32 regardless of the model's compute dtype
+        u = u.astype(jnp.float32)
+        rho_e = rho_e.astype(jnp.float32)
         u_e = u[:, self.elem_dofs]  # [B, nels, 8]
         ku_e = jnp.einsum("pq,beq->bep", self.k_loc, u_e) * rho_e[..., None]
         B = u.shape[0]
