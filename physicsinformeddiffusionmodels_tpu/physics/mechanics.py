@@ -240,12 +240,46 @@ class MechanicsResidual:
 
     # ------------------------------------------------------------ topopt eval
 
-    def solve(self, rho_e: jax.Array, bcs: jax.Array) -> jax.Array:
-        """Dense FEM solve K_bc(rho) u = f per sample (eval-only,
-        `residuals_mechanics_K.py:329-332`)."""
+    def _jacobi_diag(self, rho_e: jax.Array, mask: jax.Array) -> jax.Array:
+        """diag(K_bc(rho)) assembled matrix-free (for CG preconditioning)."""
+        rho_e = rho_e.astype(jnp.float32)
+        contrib = rho_e[:, :, None] * jnp.diag(self.k_loc)[None, None, :]
+        B = rho_e.shape[0]
+        flat_idx = jnp.broadcast_to(
+            self.elem_dofs.reshape(1, -1), (B, self.nels * 8)
+        )
+        d = jnp.zeros((B, self.neq), jnp.float32)
+        d = d.at[jnp.arange(B)[:, None], flat_idx].add(contrib.reshape(B, -1))
+        return jnp.where(mask, 1.0, d)
+
+    def solve(
+        self,
+        rho_e: jax.Array,
+        bcs: jax.Array,
+        tol: float = 1e-8,
+        maxiter: int = 3000,
+    ) -> jax.Array:
+        """FEM solve K_bc(rho) u = f per sample (eval-only).
+
+        The reference materializes [B, neq, neq] dense stiffness matrices
+        (~220 MB/sample) and LU-solves them
+        (`residuals_mechanics_K.py:329-332`) — on TPU that blows the LU
+        block kernel's VMEM and the HBM budget. Here: matrix-free
+        Jacobi-preconditioned CG on the BC-reduced SPD operator (Dirichlet
+        values are homogeneous zero, so row+column masking with identity on
+        fixed dofs is exact).
+        """
         f, mask = self._bc_data(bcs)
-        K = self.assemble_dense(rho_e, mask)
-        return jnp.linalg.solve(K, f[..., None])[..., 0]
+        diag = self._jacobi_diag(rho_e, mask)
+
+        def matvec(u):
+            u_free = jnp.where(mask, 0.0, u)
+            return jnp.where(mask, u, self._Ku(rho_e, u_free))
+
+        u, _ = jax.scipy.sparse.linalg.cg(
+            matvec, f, tol=tol, maxiter=maxiter, M=lambda r: r / diag
+        )
+        return u
 
     def topopt_eval(self, x0_pred: jax.Array, batch: MechanicsBatch):
         """Post-sampling metrics (`residuals_mechanics_K.py:276-347`):

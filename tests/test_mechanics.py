@@ -163,3 +163,21 @@ def test_floating_material_flags():
     two[0, 0:2, 0:2] = 1.0
     two[0, 5:7, 5:7] = 1.0
     assert floating_material(two)[0] == 1
+
+
+def test_cg_solve_matches_dense(mech, dataset):
+    """Matrix-free Jacobi-PCG solve == dense LU solve (the reference's
+    `torch.linalg.solve`, residuals_mechanics_K.py:329-332)."""
+    batch = split_mechanics_batch(jnp.asarray(dataset))
+    rho = batch.solution[:, :-1, :-1, 2].reshape(2, -1)
+    rho_bin = jnp.where(rho > 0.5, 1.0, 1e-3)
+    f, mask = mech._bc_data(batch.bcs)
+    K = mech.assemble_dense(rho_bin, mask)
+    u_dense = jnp.linalg.solve(K, f[..., None])[..., 0]
+    u_cg = mech.solve(rho_bin, batch.bcs)
+    scale = jnp.abs(u_dense).max()
+    np.testing.assert_allclose(
+        np.asarray(u_cg) / float(scale),
+        np.asarray(u_dense) / float(scale),
+        atol=5e-4,
+    )
