@@ -106,6 +106,8 @@ class DarcyResidual:
             f"expected NHWC (p,K) image, got {x0_pred.shape}"
         )
         B, H, W, _ = x0_pred.shape
+        # PDE residual in fp32 regardless of the model's compute dtype
+        x0_pred = x0_pred.astype(jnp.float32)
         p = x0_pred[..., 0]
         K = x0_pred[..., 1]
         g = self.grads

@@ -4,6 +4,7 @@ from physicsinformeddiffusionmodels_tpu.training.trainer import (
     TrainState,
     create_train_state,
     make_optimizer,
+    make_device_resident_step,
     make_train_step,
 )
 from physicsinformeddiffusionmodels_tpu.training.checkpoint import (
@@ -17,6 +18,7 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_optimizer",
+    "make_device_resident_step",
     "make_train_step",
     "latest_checkpoint",
     "load_checkpoint",

@@ -41,6 +41,7 @@ from physicsinformeddiffusionmodels_tpu.training import (
     MetricsLogger,
     create_train_state,
     make_optimizer,
+    make_device_resident_step,
     make_train_step,
     save_checkpoint,
 )
@@ -223,6 +224,15 @@ def run_darcy(cfg: RunConfig):
     state = create_train_state(params, tx)
     loss_fn = build_darcy_loss_fn(model, sched, physics, cfg)
     train_step = make_train_step(loss_fn, tx, ema_mu=cfg.ema_decay, ema_start=cfg.ema_start)
+    # single-device: keep the whole (few-MB) dataset in HBM and gather the
+    # minibatch inside the jitted step — no per-step host work/H2D
+    data_dev = None
+    if not multi_device:
+        data_dev = jnp.asarray(ds.stacked())
+        train_step_resident = make_device_resident_step(
+            loss_fn, tx, cfg.train_batch_size,
+            ema_mu=cfg.ema_decay, ema_start=cfg.ema_start,
+        )
     eval_loss = jax.jit(lambda params, batch, key: loss_fn(params, batch, key, 0)[1])
     sample_fn = make_sample_fn(model, sched, physics, cfg)
 
@@ -230,11 +240,12 @@ def run_darcy(cfg: RunConfig):
 
     t0 = time.time()
     for it in range(cfg.train_iterations + 1):
-        batch = jnp.asarray(next(dl))
-        if multi_device:
-            batch = shard_batch(batch, mesh)
         key, k = jax.random.split(key)
-        state, aux = train_step(state, batch, k)
+        if data_dev is not None:
+            state, aux = train_step_resident(state, data_dev, k)
+        else:
+            batch = shard_batch(jnp.asarray(next(dl)), mesh)
+            state, aux = train_step(state, batch, k)
 
         if it % cfg.log_freq == 0:
             logger.log(

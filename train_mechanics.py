@@ -48,6 +48,7 @@ from physicsinformeddiffusionmodels_tpu.training import (
     MetricsLogger,
     create_train_state,
     make_optimizer,
+    make_device_resident_step,
     make_train_step,
     save_checkpoint,
 )
@@ -194,14 +195,24 @@ def run_mechanics(cfg: RunConfig):
     eval_loss = jax.jit(lambda p, b, k: loss_fn(p, b, k, 0)[1])
     sample_fn = make_mech_sample_fn(model, sched, mech, cfg)
 
+    # single-device: dataset lives in HBM, batch gathered inside the step
+    data_dev = None
+    if not multi_device:
+        data_dev = jnp.asarray(ds.stacked())
+        train_step_resident = make_device_resident_step(
+            loss_fn, tx, cfg.train_batch_size,
+            ema_mu=cfg.ema_decay, ema_start=cfg.ema_start,
+        )
+
     logger = MetricsLogger(str(out_dir), run_name=cfg.name)
     t0 = time.time()
     for it in range(cfg.train_iterations + 1):
-        batch = jnp.asarray(next(dl))
-        if multi_device:
-            batch = shard_batch(batch, mesh)
         key, k = jax.random.split(key)
-        state, aux = train_step(state, batch, k)
+        if data_dev is not None:
+            state, aux = train_step_resident(state, data_dev, k)
+        else:
+            batch = shard_batch(jnp.asarray(next(dl)), mesh)
+            state, aux = train_step(state, batch, k)
 
         if it % cfg.log_freq == 0:
             logger.log(
