@@ -87,7 +87,7 @@ def p_sample_step(
     x0_pred, mean, model_out = _derive_x0_eps_mean(sched, denoise_fn, x, tb, pred_mode)
 
     if x0_correction_fn is not None:
-        x0_pred = x0_correction_fn(x0_pred)
+        x0_pred = x0_correction_fn(x0_pred).astype(x0_pred.dtype)
         mean = posterior_mean(sched, x0_pred, x, tb)
 
     z = jax.random.normal(key, x.shape, x.dtype)
@@ -99,7 +99,7 @@ def p_sample_step(
     sample = mean + nonzero_mask * sigma_t * z
 
     if xt_correction_fn is not None:
-        sample = xt_correction_fn(sample)
+        sample = xt_correction_fn(sample).astype(sample.dtype)
 
     if use_dynamic_threshold:
         sample = dynamic_threshold(sample)
