@@ -113,3 +113,19 @@ class RunConfig:
     @classmethod
     def load(cls, path) -> "RunConfig":
         return cls.from_json(Path(path).read_text())
+
+    @classmethod
+    def from_model_yaml(cls, path, **overrides) -> "RunConfig":
+        """Load a reference-format ``model.yaml`` (`model.yaml:1-13`) —
+        its 13 keys map 1:1 onto the corresponding fields here, so runs
+        configured for the reference work unchanged."""
+        import yaml
+
+        raw = yaml.safe_load(Path(path).read_text())
+        fields = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(raw) - fields
+        if unknown:
+            raise ValueError(f"unknown model.yaml keys: {sorted(unknown)}")
+        if raw.get("correction_mode") is not None:
+            raw["correction_mode"] = str(raw["correction_mode"])
+        return cls(**{**raw, **overrides})

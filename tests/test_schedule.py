@@ -131,3 +131,26 @@ def test_noising_roundtrip(sched):
     x_t = q_sample(sched, x0, t, noise)
     x0_rec = predict_start_from_noise(sched, x_t, t, noise)
     np.testing.assert_allclose(x0_rec, x0, rtol=1e-3, atol=1e-4)
+
+
+def test_config_from_model_yaml(tmp_path):
+    """Reference-format model.yaml configures a run 1:1 (model.yaml:1-13)."""
+    from physicsinformeddiffusionmodels_tpu.config import RunConfig
+
+    y = tmp_path / "model.yaml"
+    y.write_text(
+        "c_data: 1\nc_residual: 0.001\nc_ineq: 0\nlambda_opt: 0\n"
+        "diff_steps: 100\nx0_estimation: 'sample'\nddim_steps: 3\n"
+        "residual_grad_guidance: False\ncorrection_mode: xt\n"
+        "M_correction: 2\nN_correction: 1\ngov_eqs: darcy\nfd_acc: 2\n"
+    )
+    cfg = RunConfig.from_model_yaml(y, name="t")
+    assert cfg.ddim_steps == 3 and cfg.use_ddim_x0
+    assert cfg.train_batch_size == 16  # sample-estimation halves the batch
+    assert cfg.correction_mode == "xt" and cfg.N_correction == 1
+
+    y.write_text("not_a_key: 1\n")
+    import pytest
+
+    with pytest.raises(ValueError):
+        RunConfig.from_model_yaml(y)

@@ -158,6 +158,8 @@ def main(argv=None):
     ap.add_argument("--pixels-per-dim", type=int, default=None)
     ap.add_argument("--no-samples", type=int, default=None)
     ap.add_argument("--residual-grad-guidance", action="store_true")
+    ap.add_argument("--model-yaml", default=None,
+                    help="reference-format model.yaml to configure the run")
     args = ap.parse_args(argv)
 
     kw = {"gov_eqs": args.gov_eqs, "name": args.name}
@@ -174,7 +176,10 @@ def main(argv=None):
             kw[k_cfg] = v
     if args.residual_grad_guidance:
         kw["residual_grad_guidance"] = True
-    cfg = RunConfig(**kw)
+    if args.model_yaml:
+        cfg = RunConfig.from_model_yaml(args.model_yaml, **kw)
+    else:
+        cfg = RunConfig(**kw)
 
     if cfg.gov_eqs == "mechanics":
         from train_mechanics import run_mechanics  # noqa: deferred heavy import
