@@ -1,5 +1,8 @@
-"""Device mesh and sharding (DP/TP over ICI)."""
+"""Device mesh and sharding (DP/TP/SP over ICI)."""
 
+from physicsinformeddiffusionmodels_tpu.parallel.seq_attention import (
+    sequence_sharded_linear_attention,
+)
 from physicsinformeddiffusionmodels_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -16,4 +19,5 @@ __all__ = [
     "replicated",
     "shard_batch",
     "shard_params",
+    "sequence_sharded_linear_attention",
 ]

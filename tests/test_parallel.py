@@ -92,3 +92,33 @@ def test_dryrun_multichip_entry(devices):
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sequence_sharded_linear_attention():
+    """Token-sharded linear attention == single-device reference
+    (net-new scaling capability, SURVEY.md §2.5)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    from jax.experimental import mesh_utils
+
+    from physicsinformeddiffusionmodels_tpu.ops.pallas_attention import (
+        linear_attention_reference,
+    )
+    from physicsinformeddiffusionmodels_tpu.parallel.seq_attention import (
+        sequence_sharded_linear_attention,
+    )
+
+    heads, dh = 8, 32
+    H = heads * dh
+    b, n, c = 2, 512, 32
+    ks = jax.random.split(jax.random.key(0), 3)
+    x = jax.random.normal(ks[0], (b, n, c))
+    w_qkv = jax.random.normal(ks[1], (c, 3 * H)) / np.sqrt(c)
+    w_out = jax.random.normal(ks[2], (H, c)) / np.sqrt(H)
+
+    mesh = Mesh(mesh_utils.create_device_mesh((8,)), ("sp",))
+    got = sequence_sharded_linear_attention(x, w_qkv, w_out, mesh, "sp", heads, dh)
+    ref = linear_attention_reference(x, w_qkv, w_out, heads, dh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
