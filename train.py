@@ -106,12 +106,9 @@ def make_sample_fn(model: UNet, sched, physics, cfg: RunConfig):
     """Jitted ancestral sampling with optional CoCoGen corrections and
     residual-gradient CFG (`main.py:220-225`)."""
 
-    correction = None
-    if cfg.correction_mode in ("x0", "xt") and (cfg.N_correction or cfg.M_correction):
-        def correction_base(params, x):
-            return physics.residual_correction(x)[0]
-    else:
-        correction_base = None
+    use_correction = cfg.correction_mode in ("x0", "xt") and (
+        cfg.N_correction or cfg.M_correction
+    )
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def sample_fn(params, key, n):
@@ -125,7 +122,7 @@ def make_sample_fn(model: UNet, sched, physics, cfg: RunConfig):
             def denoise(x, t):
                 return model.apply(params, x, t)
 
-        corr = (lambda x: physics.residual_correction(x)[0]) if correction_base else None
+        corr = (lambda x: physics.residual_correction(x)[0]) if use_correction else None
         result = p_sample_loop(
             sched, denoise,
             (n, cfg.pixels_per_dim, cfg.pixels_per_dim, cfg.output_channels),
