@@ -10,6 +10,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libpidm_cc.so connected_components.cpp
 
+#include <cstddef>
 #include <cstdint>
 #include <vector>
 

@@ -1,0 +1,263 @@
+"""Mechanics (topology-optimization) ground-truth generator.
+
+Host-side sparse-FEM oracle + SIMP topology optimization producing the
+10-channel 65x65 samples the mechanics study trains on (channel order
+`/root/reference/src/data_utils.py:118`: vf, strain_energy_density_fem,
+von_mises_stress, disp_x, disp_y, E_field, BC_node_x, BC_node_y, load_x_img,
+load_y_img). The reference ships pre-generated data and only documents this
+layout; the generator here recreates it so the framework is self-contained:
+
+  * FEM discretization identical to the training residual — quad4 plane
+    stress, E=1, nu=0.3, unit elements on a P x P grid
+    (`residuals_mechanics_K.py:29-33,99-103` via physics.mechanics) — so the
+    dataset satisfies the invariant the reference asserts at load time:
+    K(E_field) u - f ~= 0 (`residuals_mechanics_K.py:303-305`).
+  * Designs from classic SIMP (penal=3, sensitivity filter, optimality-
+    criteria update; Sigmund's 99-line scheme) under randomized load/BC
+    scenarios and volume fractions.
+  * Displacements rescaled so max |u| = 1 per sample (keeps the diffusion
+    targets O(1); the linear system scales consistently).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import scipy.sparse
+import scipy.sparse.linalg
+
+from physicsinformeddiffusionmodels_tpu.physics.mechanics import (
+    grid_topology,
+    quad4_stiffness,
+)
+
+E_MIN = 1e-3  # void stiffness floor (matches the topopt-eval binarization
+# floor, `residuals_mechanics_K.py:309-311`)
+
+
+def _plane_stress_C(E: float = 1.0, nu: float = 0.3) -> np.ndarray:
+    return E / (1 - nu**2) * np.array(
+        [[1.0, nu, 0.0], [nu, 1.0, 0.0], [0.0, 0.0, (1 - nu) / 2]]
+    )
+
+
+def _center_B(side: float = 1.0) -> np.ndarray:
+    """Strain-displacement matrix at the element center (xi=eta=0) for the
+    square quad4 with the physics layer's CCW node order."""
+    corners = np.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]])
+    coords = corners * side / 2.0
+    dN = 0.25 * np.array([[-1.0, 1.0, 1.0, -1.0], [-1.0, -1.0, 1.0, 1.0]])
+    J = dN @ coords
+    dNdx = np.linalg.solve(J, dN)
+    B = np.zeros((3, 8))
+    B[0, 0::2] = dNdx[0]
+    B[1, 1::2] = dNdx[1]
+    B[2, 0::2] = dNdx[1]
+    B[2, 1::2] = dNdx[0]
+    return B
+
+
+class MechanicsFEM:
+    """Sparse FEM oracle on the structured quad grid (the role solidspy plays
+    for the reference, `residuals_mechanics_K.py:43-103`)."""
+
+    def __init__(self, nels_per_side: int, E: float = 1.0, nu: float = 0.3):
+        topo = grid_topology(nels_per_side)
+        self.nels_per_side = nels_per_side
+        self.nels = topo["nels"]
+        self.nn = topo["nn"]
+        self.neq = topo["neq"]
+        self.elem_dofs = topo["elem_dofs"]  # [nels, 8] int32
+        self.k_loc = quad4_stiffness(E, nu)
+        self.C = _plane_stress_C(E, nu)
+        self.B_center = _center_B()
+        # COO pattern of the assembled matrix (constant across densities)
+        self._rows = np.repeat(self.elem_dofs, 8, axis=1).ravel()
+        self._cols = np.tile(self.elem_dofs, (1, 8)).ravel()
+
+    def assemble(self, densities: np.ndarray) -> scipy.sparse.csr_matrix:
+        """Global stiffness K(rho) = sum_e rho_e k_loc, sparse CSR."""
+        vals = (densities[:, None, None] * self.k_loc[None]).ravel()
+        K = scipy.sparse.coo_matrix(
+            (vals, (self._rows, self._cols)), shape=(self.neq, self.neq)
+        )
+        return K.tocsr()
+
+    def solve(
+        self, densities: np.ndarray, f: np.ndarray, fixed: np.ndarray
+    ) -> np.ndarray:
+        """Solve K(rho) u = f with homogeneous Dirichlet dofs ``fixed``
+        (bool [neq]); returns u [neq] with zeros at fixed dofs."""
+        K = self.assemble(densities)
+        free = ~fixed
+        K_ff = K[free][:, free]
+        u = np.zeros(self.neq)
+        u[free] = scipy.sparse.linalg.spsolve(K_ff.tocsc(), f[free])
+        return u
+
+    def element_disp(self, u: np.ndarray) -> np.ndarray:
+        return u[self.elem_dofs]  # [nels, 8]
+
+    def element_energy(self, u: np.ndarray) -> np.ndarray:
+        """Unit-density strain energy 0.5 u_e^T k_loc u_e per element."""
+        u_e = self.element_disp(u)
+        return 0.5 * np.einsum("ep,pq,eq->e", u_e, self.k_loc, u_e)
+
+    def element_stress(self, u: np.ndarray, densities: np.ndarray) -> np.ndarray:
+        """Center stress sigma = rho_e C B u_e, [nels, 3] (sx, sy, txy)."""
+        u_e = self.element_disp(u)
+        return densities[:, None] * (u_e @ (self.C @ self.B_center).T)
+
+    def von_mises(self, u: np.ndarray, densities: np.ndarray) -> np.ndarray:
+        s = self.element_stress(u, densities)
+        sx, sy, t = s[:, 0], s[:, 1], s[:, 2]
+        return np.sqrt(np.maximum(sx**2 - sx * sy + sy**2 + 3 * t**2, 0.0))
+
+
+def _filter_matrix(P: int, rmin: float) -> scipy.sparse.csr_matrix:
+    """Linear-decay density/sensitivity filter weights H[e, f] =
+    max(0, rmin - dist(centers)) on the element grid."""
+    a, b = np.meshgrid(np.arange(P), np.arange(P), indexing="ij")
+    centers = np.stack([a.ravel(), b.ravel()], axis=1).astype(np.float64)
+    reach = int(np.ceil(rmin)) - 1
+    rows, cols, vals = [], [], []
+    for e in range(P * P):
+        ci, cj = centers[e]
+        i0, i1 = max(0, int(ci) - reach), min(P - 1, int(ci) + reach)
+        j0, j1 = max(0, int(cj) - reach), min(P - 1, int(cj) + reach)
+        for i in range(i0, i1 + 1):
+            for j in range(j0, j1 + 1):
+                w = rmin - np.hypot(ci - i, cj - j)
+                if w > 0:
+                    rows.append(e)
+                    cols.append(i * P + j)
+                    vals.append(w)
+    return scipy.sparse.csr_matrix(
+        (vals, (rows, cols)), shape=(P * P, P * P)
+    )
+
+
+def simp_topopt(
+    fem: MechanicsFEM,
+    vf: float,
+    f: np.ndarray,
+    fixed: np.ndarray,
+    penal: float = 3.0,
+    n_iter: int = 30,
+    rmin: float = 1.5,
+    move: float = 0.2,
+) -> np.ndarray:
+    """SIMP compliance minimization at volume fraction ``vf``: sensitivity
+    filter + optimality-criteria update (Sigmund 2001). Returns rho [nels]
+    in [1e-3, 1]."""
+    P = fem.nels_per_side
+    H = _filter_matrix(P, rmin)
+    Hs = np.asarray(H.sum(axis=1)).ravel()
+    rho = np.full(fem.nels, vf)
+    for _ in range(n_iter):
+        E = E_MIN + rho**penal * (1.0 - E_MIN)
+        u = fem.solve(E, f, fixed)
+        ce = 2.0 * fem.element_energy(u)  # u_e^T k u_e
+        dc = -penal * rho ** (penal - 1) * (1.0 - E_MIN) * ce
+        # sensitivity filter
+        dc = (H @ (rho * dc)) / (Hs * np.maximum(rho, 1e-3))
+        # OC bisection on the volume multiplier
+        l1, l2 = 0.0, 1e9
+        while l2 - l1 > 1e-4 * (l1 + l2 + 1e-12):
+            lmid = 0.5 * (l1 + l2)
+            cand = rho * np.sqrt(np.maximum(-dc, 0.0) / max(lmid, 1e-12))
+            rho_new = np.clip(
+                cand, np.maximum(rho - move, 1e-3), np.minimum(rho + move, 1.0)
+            )
+            if rho_new.mean() > vf:
+                l1 = lmid
+            else:
+                l2 = lmid
+        rho = rho_new
+    return rho
+
+
+def _random_scenario(fem: MechanicsFEM, rng: np.random.Generator):
+    """Randomized cantilever-style load case: left edge fully clamped, unit
+    point load at a random right-edge node with a random direction."""
+    nn = fem.nn
+    fixed = np.zeros(fem.neq, bool)
+    left_nodes = np.arange(nn) * nn  # nodes (i, 0)
+    fixed[2 * left_nodes] = True
+    fixed[2 * left_nodes + 1] = True
+
+    load_row = int(rng.integers(0, nn))
+    load_node = load_row * nn + (nn - 1)
+    angle = rng.uniform(-np.pi / 2, np.pi / 2)
+    f = np.zeros(fem.neq)
+    f[2 * load_node] = np.cos(angle) * 0.2  # mild x component
+    f[2 * load_node + 1] = -abs(np.sin(angle)) - 0.2  # downward y
+    return fixed, f
+
+
+def generate_sample(
+    fem: MechanicsFEM, rng: np.random.Generator, penal: float = 3.0, n_iter: int = 30
+) -> np.ndarray:
+    """One [nn, nn, 10] sample in the reference channel order."""
+    P, nn = fem.nels_per_side, fem.nn
+    vf = float(rng.uniform(0.3, 0.6))
+    fixed, f = _random_scenario(fem, rng)
+    rho = simp_topopt(fem, vf, f, fixed, penal=penal, n_iter=n_iter)
+    e_field = E_MIN + rho**penal * (1.0 - E_MIN)
+    u = fem.solve(e_field, f, fixed)
+
+    # rescale so max |u| = 1 (consistent linear scaling of u and f)
+    scale = 1.0 / max(np.abs(u).max(), 1e-12)
+    u = u * scale
+    f = f * scale
+
+    sed = e_field * fem.element_energy(u)  # [nels]
+    vm = fem.von_mises(u, e_field)
+
+    def pad_elem(x):
+        return np.pad(x.reshape(P, P), ((0, 1), (0, 1)))
+
+    disp = u.reshape(nn * nn, 2)
+    bc_x = np.zeros(nn * nn)
+    bc_y = np.zeros(nn * nn)
+    bc_x[fixed[0::2]] = 1.0
+    bc_y[fixed[1::2]] = 1.0
+    load = f.reshape(nn * nn, 2)
+
+    channels = [
+        np.full((nn, nn), e_field.mean()),  # vf conditioning (achieved)
+        pad_elem(sed),
+        pad_elem(vm),
+        disp[:, 0].reshape(nn, nn),
+        disp[:, 1].reshape(nn, nn),
+        pad_elem(e_field),
+        bc_x.reshape(nn, nn),
+        bc_y.reshape(nn, nn),
+        load[:, 0].reshape(nn, nn),
+        load[:, 1].reshape(nn, nn),
+    ]
+    return np.stack(channels, axis=-1).astype(np.float32)
+
+
+def generate_dataset(
+    n_samples: int,
+    nels_per_side: int = 64,
+    seed: int = 0,
+    out_dir: str | None = None,
+    penal: float = 3.0,
+    n_iter: int = 30,
+) -> np.ndarray:
+    """Generate [N, nn, nn, 10] mechanics samples; with ``out_dir``, write
+    per-sample ``<i>.npy`` files (the layout ``NpyFieldDataset`` loads)."""
+    fem = MechanicsFEM(nels_per_side)
+    rng = np.random.default_rng(seed)
+    samples = np.stack(
+        [generate_sample(fem, rng, penal=penal, n_iter=n_iter) for _ in range(n_samples)]
+    )
+    if out_dir is not None:
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        for i, s in enumerate(samples):
+            np.save(out / f"{i}.npy", s)
+    return samples
