@@ -10,16 +10,22 @@ pipeline; batching is plain NumPy index gathers feeding jitted steps.
 
 from physicsinformeddiffusionmodels_tpu.data.datasets import (
     DarcyDataset,
+    Normalization,
     NpyFieldDataset,
+    SquareImagesDataset,
     cycle_batches,
     iter_batches,
     load_darcy_dataset,
+    sample_images_with_squares,
 )
 
 __all__ = [
     "DarcyDataset",
+    "Normalization",
     "NpyFieldDataset",
+    "SquareImagesDataset",
     "cycle_batches",
     "iter_batches",
     "load_darcy_dataset",
+    "sample_images_with_squares",
 ]

@@ -89,6 +89,136 @@ def load_darcy_dataset(root: str) -> DarcyDataset:
     return DarcyDataset(fields.astype(np.float32))
 
 
+def sample_images_with_squares(
+    no_points: int,
+    pixels_per_dim: int,
+    dim: int,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Synthetic debug images: one random quarter-size solid square per
+    sample, identical across channels (`data_utils.py:121-148`). Returns
+    NHWC [N, P, P, dim] float32."""
+    rng = rng or np.random.default_rng(0)
+    size = pixels_per_dim // 4
+    images = np.zeros((no_points, pixels_per_dim, pixels_per_dim, dim), np.float32)
+    starts = rng.integers(0, pixels_per_dim - size, (no_points, 2))
+    for i, (x0, y0) in enumerate(starts):
+        images[i, x0 : x0 + size, y0 : y0 + size, :] = 1.0
+    return images
+
+
+class SquareImagesDataset:
+    """Shape-level smoke-test dataset (`data_utils.py:150-173`) — random
+    squares, no physics."""
+
+    def __init__(self, no_points: int, pixels_per_dim: int, dim: int, seed: int = 0):
+        self.data = sample_images_with_squares(
+            no_points, pixels_per_dim, dim, np.random.default_rng(seed)
+        )
+
+    def __len__(self) -> int:
+        return self.data.shape[0]
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        return self.data[i]
+
+    def stacked(self) -> np.ndarray:
+        return self.data
+
+
+class Normalization:
+    """Column-wise normalization with the reference's strategies
+    (`data_utils.py:175-266`): 'min-max-1' ([0,1] per column),
+    'global-min-max-1', 'min-max-2' ([-1,1] per column), 'global-min-max-2',
+    'mean-std', 'none'; categorical columns are one-hot encoded on
+    ``normalize`` (appended after the continuous block) and passed through on
+    ``unnormalize``. Unused in the main study flows — provided for parity.
+
+    Works on [N, C] NumPy or JAX arrays; statistics are taken from the
+    constructor data.
+    """
+
+    STRATEGIES = (
+        "min-max-1",
+        "global-min-max-1",
+        "min-max-2",
+        "global-min-max-2",
+        "mean-std",
+        "none",
+    )
+
+    def __init__(self, data, data_type: list[str], strategy: str):
+        if strategy not in self.STRATEGIES:
+            raise ValueError(f"Incorrect normalization strategy: {strategy!r}")
+        data = np.asarray(data)
+        self.mu = data.mean(axis=0)
+        # reference uses torch.std (ddof=1)
+        self.std = data.std(axis=0, ddof=1)
+        self.min = data.min(axis=0)
+        self.max = data.max(axis=0)
+        self.globalmin = data.min()
+        self.globalmax = data.max()
+        self.data_type = list(data_type)
+        self.cols = data.shape[1]
+        self.strategy = strategy
+        if not all(t in ("continuous", "categorical") for t in self.data_type):
+            raise ValueError("Data type must be either continuous or categorical")
+
+    def _scale(self, col, i):
+        s = self.strategy
+        if s == "min-max-1":
+            return (col - self.min[i]) / (self.max[i] - self.min[i])
+        if s == "global-min-max-1":
+            return (col - self.globalmin) / (self.globalmax - self.globalmin)
+        if s == "min-max-2":
+            return 2.0 * (col - self.min[i]) / (self.max[i] - self.min[i]) - 1.0
+        if s == "global-min-max-2":
+            return 2.0 * (col - self.globalmin) / (self.globalmax - self.globalmin) - 1.0
+        if s == "mean-std":
+            return (col - self.mu[i]) / self.std[i]
+        return col
+
+    def _unscale(self, col, i):
+        s = self.strategy
+        if s == "min-max-1":
+            return col * (self.max[i] - self.min[i]) + self.min[i]
+        if s == "global-min-max-1":
+            return col * (self.globalmax - self.globalmin) + self.globalmin
+        if s == "min-max-2":
+            return (0.5 * col + 0.5) * (self.max[i] - self.min[i]) + self.min[i]
+        if s == "global-min-max-2":
+            return (0.5 * col + 0.5) * (self.globalmax - self.globalmin) + self.globalmin
+        if s == "mean-std":
+            return col * self.std[i] + self.mu[i]
+        return col
+
+    def normalize(self, data):
+        data = np.asarray(data)
+        continuous = [
+            self._scale(data[:, i], i)
+            for i in range(self.cols)
+            if self.data_type[i] == "continuous"
+        ]
+        one_hots = []
+        for i in range(self.cols):
+            if self.data_type[i] == "categorical":
+                vals = data[:, i].astype(np.int64)
+                eye = np.eye(int(vals.max()) + 1, dtype=data.dtype)
+                one_hots.append(eye[vals])
+        cols = [np.stack(continuous, axis=1)] if continuous else []
+        return np.concatenate(cols + one_hots, axis=1) if (cols or one_hots) else data
+
+    def unnormalize(self, data):
+        data = np.asarray(data)
+        out = np.zeros_like(data)
+        for i in range(self.cols):
+            if self.data_type[i] == "continuous":
+                out[:, i] = self._unscale(data[:, i], i)
+            else:
+                out[:, i] = data[:, i]
+        return out
+
+
 def iter_batches(dataset, batch_size: int, *, drop_remainder: bool = False):
     """One sequential pass over ``dataset`` in batches (eval sweeps,
     `sample.py:244-342`)."""

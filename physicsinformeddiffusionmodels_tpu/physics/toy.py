@@ -46,3 +46,41 @@ def sample_hypersphere(rng: np.random.Generator, size: int, dim: int = 2) -> np.
     (`denoising_utils.py:106-111`)."""
     x = rng.normal(0.0, 1.0, (size, dim))
     return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def sample_zeros(rng: np.random.Generator, size: int, dim: int = 2) -> np.ndarray:
+    """All-zero point cloud (`denoising_utils.py:94-95`)."""
+    return np.zeros((size, dim))
+
+
+def sample_gaussian(rng: np.random.Generator, size: int, dim: int = 2) -> np.ndarray:
+    """Standard-normal point cloud (`denoising_utils.py:97-98`)."""
+    return rng.standard_normal((size, dim))
+
+
+def sample_circle(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Uniform angles on the 2D unit circle (`denoising_utils.py:100-104`)."""
+    theta = rng.uniform(0.0, 2.0 * np.pi, size)
+    return np.stack([np.cos(theta), np.sin(theta)], axis=1)
+
+
+def sample_two_points(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Random picks from {(-0.5,-0.5), (0.5,0.5)} (`denoising_utils.py:113-117`)."""
+    pts = np.array([[-0.5, -0.5], [0.5, 0.5]])
+    return pts[rng.integers(0, 2, size)]
+
+
+def sample_four_points(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Random picks from the 4 corners of [-1,1]^2 (`denoising_utils.py:119-123`)."""
+    pts = np.array([[-1.0, -1.0], [-1.0, 1.0], [1.0, -1.0], [1.0, 1.0]])
+    return pts[rng.integers(0, 4, size)]
+
+
+TOY_DISTRIBUTIONS = {
+    "zeros": sample_zeros,
+    "gaussian": sample_gaussian,
+    "circle": sample_circle,
+    "hypersphere": sample_hypersphere,
+    "two_points": sample_two_points,
+    "four_points": sample_four_points,
+}

@@ -6,7 +6,9 @@ import pytest
 
 from physicsinformeddiffusionmodels_tpu.data import (
     DarcyDataset,
+    Normalization,
     NpyFieldDataset,
+    SquareImagesDataset,
     cycle_batches,
     iter_batches,
     load_darcy_dataset,
@@ -88,3 +90,48 @@ def test_cycle_batches_full_size_and_coverage():
 def test_cycle_batches_caps_batch_size():
     ds = DarcyDataset(np.zeros((3, 2, 2, 2), np.float32))
     assert next(cycle_batches(ds, 64)).shape[0] == 3
+
+
+def test_square_images_dataset():
+    ds = SquareImagesDataset(5, 16, 3, seed=2)
+    imgs = ds.stacked()
+    assert imgs.shape == (5, 16, 16, 3)
+    # exactly one 4x4 solid square per channel
+    assert (imgs.sum(axis=(1, 2)) == 16.0).all()
+    assert set(np.unique(imgs)) == {0.0, 1.0}
+
+
+@pytest.mark.parametrize(
+    "strategy",
+    ["min-max-1", "global-min-max-1", "min-max-2", "global-min-max-2", "mean-std", "none"],
+)
+def test_normalization_roundtrip(strategy):
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((20, 3)) * [1.0, 5.0, 0.1] + [0.0, 2.0, -1.0]
+    norm = Normalization(data, ["continuous"] * 3, strategy)
+    z = norm.normalize(data)
+    if strategy == "min-max-1":
+        assert z.min() == pytest.approx(0.0) and z.max() == pytest.approx(1.0)
+    if strategy == "min-max-2":
+        assert z.min() == pytest.approx(-1.0) and z.max() == pytest.approx(1.0)
+    if strategy == "mean-std":
+        np.testing.assert_allclose(z.mean(0), 0.0, atol=1e-12)
+        np.testing.assert_allclose(z.std(0, ddof=1), 1.0, rtol=1e-12)
+    np.testing.assert_allclose(norm.unnormalize(z), data, rtol=1e-10, atol=1e-12)
+
+
+def test_normalization_one_hot():
+    data = np.array([[0.5, 0.0], [1.5, 2.0], [2.5, 1.0]])
+    norm = Normalization(data, ["continuous", "categorical"], "min-max-1")
+    z = norm.normalize(data)
+    # continuous column + 3 one-hot columns
+    assert z.shape == (3, 4)
+    np.testing.assert_array_equal(z[:, 1:], np.eye(3)[[0, 2, 1]])
+
+
+def test_normalization_rejects_bad_args():
+    data = np.zeros((4, 2))
+    with pytest.raises(ValueError):
+        Normalization(data, ["continuous"] * 2, "nope")
+    with pytest.raises(ValueError):
+        Normalization(data, ["continuous", "weird"], "none")
