@@ -68,10 +68,11 @@ def eval_darcy(cfg: RunConfig, raw, out_dir: Path, no_samples: int, create_gif: 
         pixels_at_boundary=cfg.pixels_at_boundary, reverse_d1=cfg.reverse_d1,
         domain_length=cfg.domain_length, periodic=cfg.bcs == "periodic",
     )
-    sample_fn = train_mod.make_sample_fn(model, sched, physics, cfg)
+    sample_fn = train_mod.make_sample_fn(model, sched, physics, cfg, save_history=create_gif)
     t0 = time.time()
-    samples, residual = sample_fn(params, jax.random.key(seed), no_samples)
-    samples = np.asarray(samples)
+    out = sample_fn(params, jax.random.key(seed), no_samples)
+    samples, residual = np.asarray(out[0]), out[1]
+    history = np.asarray(out[2]) if create_gif else None
     res_b = np.abs(np.asarray(residual)).mean(axis=(1, 2))
 
     step_dir = out_dir / "validation"
@@ -82,6 +83,12 @@ def eval_darcy(cfg: RunConfig, raw, out_dir: Path, no_samples: int, create_gif: 
                 title=f"residual: {res_b[s]:.2e}",
             )
             viz.save_csv(samples[s, :, :, c], str(step_dir / f"sample_{s}" / f"sample_{c}.csv"))
+            if history is not None:
+                # denoising-trajectory GIF per sample/channel (`sample.py:213-236`)
+                viz.image_history_to_gif(
+                    history[:, s, :, :, c],
+                    str(step_dir / f"sample_{s}" / f"sample_{c}.gif"),
+                )
     with open(step_dir / "sample_statistics.csv", "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["Sample Index", "Residuals (abs)"])

@@ -102,9 +102,11 @@ def build_darcy_loss_fn(model: UNet, sched, physics: DarcyResidual, cfg: RunConf
     return loss_fn
 
 
-def make_sample_fn(model: UNet, sched, physics, cfg: RunConfig):
+def make_sample_fn(model: UNet, sched, physics, cfg: RunConfig, save_history: bool = False):
     """Jitted ancestral sampling with optional CoCoGen corrections and
-    residual-gradient CFG (`main.py:220-225`)."""
+    residual-gradient CFG (`main.py:220-225`). With ``save_history`` the
+    full [T, B, H, W, C] denoising trajectory is returned as a third output
+    (for GIF dumps, `sample.py:213-236`)."""
 
     use_correction = cfg.correction_mode in ("x0", "xt") and (
         cfg.N_correction or cfg.M_correction
@@ -132,8 +134,11 @@ def make_sample_fn(model: UNet, sched, physics, cfg: RunConfig):
             correction_mode=cfg.correction_mode,
             n_correction=cfg.N_correction,
             m_correction=cfg.M_correction,
+            save_history=save_history,
         )
         residual = physics.residual(result.x)
+        if save_history:
+            return result.x, residual, result.history
         return result.x, residual
 
     return sample_fn

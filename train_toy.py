@@ -131,6 +131,7 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--c-residual", type=float, default=None)
     parser.add_argument("--output-dir", default="./trained_models/toy")
+    parser.add_argument("--create-gif", action="store_true")
     args = parser.parse_args(argv)
 
     config = default_config()
@@ -144,6 +145,8 @@ def main(argv=None):
         config["train_num_steps"] = args.epochs
     if args.c_residual is not None:
         config["c_residual"] = args.c_residual
+    if args.create_gif:
+        config["create_gif"] = True
     config["use_ddim_x0"] = config["x0_estimation"] == "sample"
 
     out_dir = Path(args.output_dir) / config["name"]
@@ -234,6 +237,13 @@ def main(argv=None):
                     config["n_steps"], fix_axes=config["fix_axes"],
                 )
                 viz.save_csv(final, str(out_dir / "csv" / f"step_{epoch}_sample.csv"))
+                if config["create_gif"]:
+                    # denoising-trajectory GIF (`main_toy.py:168-176`)
+                    lims = (history[-1].min() - 0.5, history[-1].max() + 0.5)
+                    viz.scatter_history_to_gif(
+                        history, str(out_dir / f"step_{epoch}.gif"),
+                        x_lim=lims, y_lim=lims,
+                    )
 
     save_checkpoint(
         out_dir / "model",
