@@ -21,6 +21,10 @@ import argparse
 import json
 import time
 
+from physicsinformeddiffusionmodels_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
 import jax
 import jax.numpy as jnp
 
