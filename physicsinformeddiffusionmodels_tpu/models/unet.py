@@ -40,6 +40,7 @@ from flax import linen as nn
 
 from physicsinformeddiffusionmodels_tpu.ops.pallas_attention import (
     linear_attention,
+    linear_attention_block,
 )
 from physicsinformeddiffusionmodels_tpu.ops.pallas_kernels import (
     group_norm_film_silu,
@@ -170,8 +171,11 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, scale_shift=None):
         x = Conv2dPadded(self.dim_out, 3, 1, 1, self.padding_mode, self.dtype)(x)
-        # GroupNorm -> FiLM -> SiLU in one fused Pallas pass on TPU
-        # (ops/pallas_kernels.py); plain XLA fallback elsewhere.
+        # GroupNorm -> FiLM -> SiLU via the plain-XLA path: XLA fuses the
+        # chain into the neighboring convs' pipeline in the conv emitter's
+        # preferred layout (+58us/block at Darcy level 0), while a fixed-
+        # layout Pallas kernel forces ~700us of relayout copies per block
+        # (measured, scripts/profile_conv2.py).
         gamma = self.param("gn_scale", nn.initializers.ones, (self.dim_out,))
         beta = self.param("gn_bias", nn.initializers.zeros, (self.dim_out,))
         scale, shift = scale_shift if scale_shift is not None else (None, None)
@@ -237,6 +241,39 @@ class SpatialLinearAttention(nn.Module):
             heads=self.heads, dim_head=self.dim_head,
         )
         return out.reshape(*lead, h, w, self.dim) + b_out.astype(dt)
+
+
+class LinearAttentionBlock(nn.Module):
+    """Pre-norm residual spatial linear attention,
+    ``x + b_out + LA(LN_gamma(x))``, fused into ONE Pallas kernel on TPU
+    (ops/pallas_attention.linear_attention_block): one HBM read of x, one
+    write of the output — the LN, both layout transposes, the bias and the
+    residual add that surround the plain kernel are all folded in, and the
+    output projection is pre-contracted with the per-head context matrix.
+    Equivalent to the reference's ``PreNorm(SpatialLinearAttention) + x``
+    (`unet_model.py:212-220,269-299,484-492`)."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 32
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        *lead, h, w, c = x.shape
+        assert c == self.dim, "residual block requires out dim == in dim"
+        hidden = self.heads * self.dim_head
+        gamma = self.param("ln_gamma", nn.initializers.ones, (c,))
+        w_qkv = self.param("w_qkv", nn.initializers.lecun_normal(), (c, hidden * 3))
+        w_out = self.param("w_out", nn.initializers.lecun_normal(), (hidden, self.dim))
+        b_out = self.param("b_out", nn.initializers.zeros, (self.dim,))
+        dt = self.dtype or x.dtype
+        tokens = x.reshape(-1, h * w, c).astype(dt)
+        out = linear_attention_block(
+            tokens, gamma, w_qkv, w_out, b_out,
+            heads=self.heads, dim_head=self.dim_head,
+        )
+        return out.reshape(*lead, h, w, self.dim)
 
 
 def _rope_rotate(x, positions, dim_head):
@@ -501,9 +538,8 @@ class UNet(nn.Module):
             x = ResnetBlock(dim_out, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
             x = ResnetBlock(dim_out, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
             if self.use_sparse_linear_attn:
-                x = PreNormResidual(
-                    dim_out,
-                    SpatialLinearAttention(dim_out, self.attn_heads, self.attn_dim_head, self.dtype),
+                x = LinearAttentionBlock(
+                    dim_out, self.attn_heads, self.attn_dim_head, self.dtype
                 )(x)
             hs.append(x)
             if not is_last:
@@ -538,9 +574,8 @@ class UNet(nn.Module):
             x = ResnetBlock(dim_in, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
             x = ResnetBlock(dim_in, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
             if self.use_sparse_linear_attn:
-                x = PreNormResidual(
-                    dim_in,
-                    SpatialLinearAttention(dim_in, self.attn_heads, self.attn_dim_head, self.dtype),
+                x = LinearAttentionBlock(
+                    dim_in, self.attn_heads, self.attn_dim_head, self.dtype
                 )(x)
             if not is_last:
                 x = Upsample(dim_in, self.padding_mode, self.dtype)(x)

@@ -392,3 +392,395 @@ def linear_attention(
         False,
     )
     return jnp.swapaxes(yt, -1, -2)
+
+
+
+# --------------------------------------------------------------------------
+# fused pre-norm linear-attention residual block
+# --------------------------------------------------------------------------
+#
+# out = x + b_out + LA(LN_gamma(x)) in ONE kernel. I/O is channel-major
+# [B, C, N] like the plain kernel above: natural-layout [B, N, C] blocks
+# with C < 128 pad every (8, 128) VMEM tile to 128 lanes, so their HBM->VMEM
+# DMAs run at C/128 of peak (measured: a natural-layout variant of this
+# kernel was NET SLOWER than the unfused path at the Darcy level-0 shape).
+# The two boundary transposes stay as XLA copies; what fuses in is
+# everything else that used to surround the kernel:
+#   - the pre-LN (channel stats = sublane reductions, layout-native),
+#   - the output bias and the residual add,
+#   - and the output projection, pre-contracted with the per-head context:
+#       M_h = ctx_h W_out,h            ([dh, C], once per row)
+#       out_tile = M^T P               (K = heads*dh, full MXU contraction)
+#     replacing the two K=dh-starved matmuls (ctx q~, then W_out^T y) of
+#     the unfused form with one full-K matmul.
+# Everything is channel-major end to end — the kernel contains no
+# transposes at all.
+
+
+def _ln_tile_cm(xt_cm, gammaT, eps):
+    """[C, T] channel-major tile -> (normalized*gamma [C, T], mu, rstd [1, T])."""
+    xf = xt_cm.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=0, keepdims=True)
+    var = jnp.mean(xf * xf, axis=0, keepdims=True) - mu * mu
+    rstd = jax.lax.rsqrt(var + eps)
+    xln = (xf - mu) * rstd * gammaT
+    return xln, mu, rstd
+
+
+def _lab_fwd_kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, bout_ref, o_ref,
+                    xln_ref, p_ref,
+                    *, heads: int, dh: int, n: int, c: int, tile: int,
+                    eps: float):
+    """One grid step = one batch row. x: [1, C, N] channel-major."""
+    H = heads * dh
+    md = x_ref.dtype
+    w = wqkv_ref[:]                                   # [3H, C]
+    gammaT = gamma_ref[:].astype(jnp.float32)         # [C, 1]
+    n_tiles = n // tile
+    scale = dh**-0.5
+
+    # Phase A: LN + one qkv projection per tile; q-softmax stored to
+    # scratch; streamed token-softmax of k with context accumulation.
+    def body_a(i, carry):
+        m, z, ctx = carry
+        sl = pl.ds(i * tile, tile)
+        xln, _, _ = _ln_tile_cm(x_ref[0, :, sl], gammaT, eps)
+        xln = xln.astype(md)
+        xln_ref[:, sl] = xln
+        qkv = _mm(w, xln, md)                         # [3H, T] f32
+        qT = qkv[:H].reshape(heads, dh, tile)
+        kT = qkv[H:2 * H].reshape(heads, dh, tile)
+        vT = qkv[2 * H:].reshape(heads, dh, tile)
+        # q softmax over dh (axis 1), stored unscaled
+        qmx = jnp.max(qT, axis=1, keepdims=True)
+        eq = jnp.exp(qT - qmx)
+        P = eq / jnp.sum(eq, axis=1, keepdims=True)
+        p_ref[:, sl] = P.reshape(H, tile).astype(md)
+        # streamed k softmax + ctx
+        m_new = jnp.maximum(m, jnp.max(kT, axis=2, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        ek = jnp.exp(kT - m_new)
+        z = z * alpha + jnp.sum(ek, axis=2, keepdims=True)
+        ctx = ctx * alpha + _dg(ek, vT, (((2,), (2,)), ((0,), (0,))), md)
+        return m_new, z, ctx
+
+    m0 = jnp.full((heads, dh, 1), -jnp.inf, jnp.float32)
+    z0 = jnp.zeros((heads, dh, 1), jnp.float32)
+    ctx0 = jnp.zeros((heads, dh, dh), jnp.float32)
+    m, z, ctx = jax.lax.fori_loop(0, n_tiles, body_a, (m0, z0, ctx0))
+    ctx = ctx / (z * float(n))                        # [h, d, e]
+
+    # fold W_out (and the q scale) into the context:
+    # MT[C, H(d)] = concat_h(W_out,h^T ctx_h^T) * scale
+    wo_h = wout_ref[:].reshape(heads, dh, c)          # [h, e, C]
+    M = _dg(ctx, wo_h, (((2,), (1,)), ((0,), (0,))), md)  # [h, d, C]
+    MT = jnp.swapaxes((M * scale).reshape(H, c), 0, 1).astype(md)  # [C, H]
+    bout = bout_ref[:].astype(jnp.float32)            # [C, 1]
+
+    # Phase B: out tile = MT P + b_out + x  (channel-major throughout)
+    def body_b(i, _):
+        sl = pl.ds(i * tile, tile)
+        o = _mm(MT, p_ref[:, sl], md)                 # [C, T] f32
+        o_ref[0, :, sl] = (
+            o + bout + x_ref[0, :, sl].astype(jnp.float32)
+        ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, body_b, 0)
+
+
+def _lab_bwd_kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, dy_ref,
+                    dx_ref, dgamma_ref, dwqkv_ref, dwout_ref, dbout_ref,
+                    xln_ref, p_ref, dxln_ref,
+                    *, heads: int, dh: int, n: int, c: int, tile: int,
+                    eps: float):
+    """Analytic VJP of the fused block. dy: [1, C, N] channel-major.
+
+    Weight/param cotangents are accumulated across the sequential grid
+    (initialized at row 0)."""
+    H = heads * dh
+    b_idx = pl.program_id(0)
+    md = x_ref.dtype
+    w = wqkv_ref[:]
+    gammaT = gamma_ref[:].astype(jnp.float32)
+    n_tiles = n // tile
+    scale = dh**-0.5
+
+    # ---- Phase A: recompute xln, P, and the streamed ctx ----
+    def body_a(i, carry):
+        m, z, ctx = carry
+        sl = pl.ds(i * tile, tile)
+        xln, _, _ = _ln_tile_cm(x_ref[0, :, sl], gammaT, eps)
+        xln = xln.astype(md)
+        xln_ref[:, sl] = xln
+        qkv = _mm(w, xln, md)
+        qT = qkv[:H].reshape(heads, dh, tile)
+        kT = qkv[H:2 * H].reshape(heads, dh, tile)
+        vT = qkv[2 * H:].reshape(heads, dh, tile)
+        qmx = jnp.max(qT, axis=1, keepdims=True)
+        eq = jnp.exp(qT - qmx)
+        P = eq / jnp.sum(eq, axis=1, keepdims=True)
+        p_ref[:, sl] = P.reshape(H, tile).astype(md)
+        m_new = jnp.maximum(m, jnp.max(kT, axis=2, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        ek = jnp.exp(kT - m_new)
+        z = z * alpha + jnp.sum(ek, axis=2, keepdims=True)
+        ctx = ctx * alpha + _dg(ek, vT, (((2,), (2,)), ((0,), (0,))), md)
+        return m_new, z, ctx
+
+    m0 = jnp.full((heads, dh, 1), -jnp.inf, jnp.float32)
+    z0 = jnp.zeros((heads, dh, 1), jnp.float32)
+    ctx0 = jnp.zeros((heads, dh, dh), jnp.float32)
+    m, z, ctx_raw = jax.lax.fori_loop(0, n_tiles, body_a, (m0, z0, ctx0))
+    zn = z * float(n)
+    ctx = ctx_raw / zn                                # normalized [h, d, e]
+    wo_h = wout_ref[:].reshape(heads, dh, c)          # [h, e, C]
+    M2 = (_dg(ctx, wo_h, (((2,), (1,)), ((0,), (0,))), md) * scale
+          ).reshape(H, c).astype(md)                  # [H(d), C] incl. scale
+
+    # ---- Phase B: dy tiles -> dM, dP -> dxln (q path), dW_q, db_out ----
+    def body_b(i, carry):
+        dM, dwq, dbout = carry
+        sl = pl.ds(i * tile, tile)
+        dy_cm = dy_ref[0, :, sl]                      # [C, T]
+        dbout = dbout + jnp.sum(
+            dy_cm.astype(jnp.float32), axis=1, keepdims=True)
+        Pt = p_ref[:, sl]                             # [H, T]
+        # dM += P dy^T : [H, T] x [C, T] over T
+        dM = dM + _dg(Pt, dy_cm, (((1,), (1,)), ((), ())), md)
+        # dP = M2 dy (M2 carries the q scale, so this is the cotangent of
+        # the UNSCALED softmax P)
+        dPs = _mm(M2, dy_cm, md).reshape(heads, dh, tile)
+        P = Pt.astype(jnp.float32).reshape(heads, dh, tile)
+        dA = P * (dPs - jnp.sum(dPs * P, axis=1, keepdims=True))
+        dA2 = dA.reshape(H, tile)
+        dxln_ref[:, sl] = _mm(w[:H].T, dA2, md)
+        # dW_q += dA xln^T : over T
+        dwq = dwq + _dg(dA2, xln_ref[:, sl], (((1,), (1,)), ((), ())), md)
+        return dM, dwq, dbout
+
+    dM0 = jnp.zeros((H, c), jnp.float32)
+    dwq0 = jnp.zeros((H, c), jnp.float32)
+    dbout0 = jnp.zeros((c, 1), jnp.float32)
+    dM, dwq, dbout = jax.lax.fori_loop(0, n_tiles, body_b, (dM0, dwq0, dbout0))
+
+    # chain dM -> dctx, dW_out.  M = scale * ctx_h W_out,h
+    dM_h = (dM * scale).reshape(heads, dh, c)         # [h, d, C]
+    # dctx_h = dM_h W_out,h^T : [h, d, e]
+    dctx = _dg(dM_h.astype(md), wo_h.astype(md), (((2,), (2,)), ((0,), (0,))), md)
+    # dW_out,h = ctx_h^T dM_h : [h, e, C]
+    dwo = _dg(ctx.astype(md), dM_h.astype(md), (((1,), (1,)), ((0,), (0,))), md)
+    dwo2 = dwo.reshape(H, c)
+    row = jnp.sum(dctx * ctx, axis=2, keepdims=True)  # [h, d, 1]
+
+    # ---- Phase C: k/v paths -> dxln += W_k^T dk + W_v^T dv ----
+    def body_c(i, carry):
+        dwk, dwv = carry
+        sl = pl.ds(i * tile, tile)
+        xln = xln_ref[:, sl]
+        kT = _mm(w[H:2 * H], xln, md).reshape(heads, dh, tile)
+        vT = _mm(w[2 * H:], xln, md).reshape(heads, dh, tile)
+        Kp = jnp.exp(kT - m) / z                      # softmax [h, d, T]
+        vn = vT / float(n)
+        dKp = _dg(dctx, vn.astype(md), (((2,), (1,)), ((0,), (0,))), md)
+        dk = Kp * (dKp - row)
+        dvn = _dg(dctx, Kp.astype(md), (((1,), (1,)), ((0,), (0,))), md)
+        dv = dvn / float(n)
+        dk2 = dk.reshape(H, tile)
+        dv2 = dv.reshape(H, tile)
+        dxln_ref[:, sl] = (
+            dxln_ref[:, sl]
+            + _mm(w[H:2 * H].T, dk2.astype(md), md)
+            + _mm(w[2 * H:].T, dv2.astype(md), md)
+        )
+        dwk = dwk + _dg(dk2.astype(md), xln, (((1,), (1,)), ((), ())), md)
+        dwv = dwv + _dg(dv2.astype(md), xln, (((1,), (1,)), ((), ())), md)
+        return dwk, dwv
+
+    dwk0 = jnp.zeros((H, c), jnp.float32)
+    dwv0 = jnp.zeros((H, c), jnp.float32)
+    dwk, dwv = jax.lax.fori_loop(0, n_tiles, body_c, (dwk0, dwv0))
+
+    # ---- Phase D: LN VJP + residual path -> dx; dgamma ----
+    def body_d(i, dgamma):
+        sl = pl.ds(i * tile, tile)
+        xf = x_ref[0, :, sl].astype(jnp.float32)
+        mu = jnp.mean(xf, axis=0, keepdims=True)
+        var = jnp.mean(xf * xf, axis=0, keepdims=True) - mu * mu
+        rstd = jax.lax.rsqrt(var + eps)
+        xhat = (xf - mu) * rstd                       # [C, T]
+        du = dxln_ref[:, sl]                          # [C, T] f32
+        dgamma = dgamma + jnp.sum(du * xhat, axis=1, keepdims=True)
+        dxhat = du * gammaT
+        s1 = jnp.mean(dxhat, axis=0, keepdims=True)
+        s2 = jnp.mean(dxhat * xhat, axis=0, keepdims=True)
+        dx_ln = rstd * (dxhat - s1 - xhat * s2)       # [C, T]
+        dx_ref[0, :, sl] = (
+            dx_ln + dy_ref[0, :, sl].astype(jnp.float32)
+        ).astype(dx_ref.dtype)
+        return dgamma
+
+    dgamma = jax.lax.fori_loop(0, n_tiles, body_d,
+                               jnp.zeros((c, 1), jnp.float32))
+
+    dwqkv_b = jnp.concatenate([dwq, dwk, dwv], axis=0)  # [3H, C]
+
+    @pl.when(b_idx == 0)
+    def _():
+        dwqkv_ref[:] = dwqkv_b.astype(dwqkv_ref.dtype)
+        dwout_ref[:] = dwo2.astype(dwout_ref.dtype)
+        dgamma_ref[:] = dgamma.astype(dgamma_ref.dtype)
+        dbout_ref[:] = dbout.astype(dbout_ref.dtype)
+
+    @pl.when(b_idx > 0)
+    def _():
+        dwqkv_ref[:] = dwqkv_ref[:] + dwqkv_b.astype(dwqkv_ref.dtype)
+        dwout_ref[:] = dwout_ref[:] + dwo2.astype(dwout_ref.dtype)
+        dgamma_ref[:] = dgamma_ref[:] + dgamma.astype(dgamma_ref.dtype)
+        dbout_ref[:] = dbout_ref[:] + dbout.astype(dbout_ref.dtype)
+
+
+def _lab_fwd_call(xt, gammaT, w_qkvT, w_outT, bout, heads, dh, eps, interpret):
+    b, c, n = xt.shape
+    H = heads * dh
+    tile = _choose_tile(n)
+    kern = functools.partial(
+        _lab_fwd_kernel, heads=heads, dh=dh, n=n, c=c, tile=tile, eps=eps
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, c, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * H, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, n), xt.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c, n), xt.dtype),
+            pltpu.VMEM((H, n), xt.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20
+        ),
+    )(xt, gammaT, w_qkvT, w_outT, bout)
+
+
+def _lab_bwd_call(xt, gammaT, w_qkvT, w_outT, dyt, heads, dh, eps, interpret):
+    b, c, n = xt.shape
+    H = heads * dh
+    tile = _choose_tile(n)
+    kern = functools.partial(
+        _lab_bwd_kernel, heads=heads, dh=dh, n=n, c=c, tile=tile, eps=eps
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, c, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * H, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * H, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c, n), xt.dtype),
+            jax.ShapeDtypeStruct((c, 1), jnp.float32),
+            jax.ShapeDtypeStruct((3 * H, c), jnp.float32),
+            jax.ShapeDtypeStruct((H, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c, n), xt.dtype),
+            pltpu.VMEM((H, n), xt.dtype),
+            pltpu.VMEM((c, n), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20
+        ),
+    )(xt, gammaT, w_qkvT, w_outT, dyt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _linear_attention_block_pallas(xt, gammaT, w_qkvT, w_outT, bout,
+                                   heads, dh, eps, interpret):
+    return _lab_fwd_call(xt, gammaT, w_qkvT, w_outT, bout, heads, dh, eps,
+                         interpret)
+
+
+def _lab_fwd(xt, gammaT, w_qkvT, w_outT, bout, heads, dh, eps, interpret):
+    y = _lab_fwd_call(xt, gammaT, w_qkvT, w_outT, bout, heads, dh, eps,
+                      interpret)
+    return y, (xt, gammaT, w_qkvT, w_outT)
+
+
+def _lab_bwd(heads, dh, eps, interpret, res, dyt):
+    xt, gammaT, w_qkvT, w_outT = res
+    dxt, dgammaT, dwqkvT, dwoutT, dbout = _lab_bwd_call(
+        xt, gammaT, w_qkvT, w_outT, dyt, heads, dh, eps, interpret
+    )
+    return (dxt, dgammaT.astype(gammaT.dtype), dwqkvT.astype(w_qkvT.dtype),
+            dwoutT.astype(w_outT.dtype), dbout.astype(w_outT.dtype))
+
+
+_linear_attention_block_pallas.defvjp(_lab_fwd, _lab_bwd)
+
+
+def linear_attention_block_reference(x, gamma, w_qkv, w_out, b_out,
+                                     heads: int, dim_head: int,
+                                     eps: float = 1e-5):
+    """XLA oracle: x + b_out + LA(LN_gamma(x)). x: [B, N, C]."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    ln = ((xf - mu) / jnp.sqrt(var + eps) * gamma).astype(x.dtype)
+    o = linear_attention_reference(ln, w_qkv, w_out, heads, dim_head)
+    return (o.astype(jnp.float32) + b_out + xf).astype(x.dtype)
+
+
+def linear_attention_block(
+    x: jax.Array,
+    gamma: jax.Array,
+    w_qkv: jax.Array,
+    w_out: jax.Array,
+    b_out: jax.Array,
+    heads: int = 8,
+    dim_head: int = 32,
+    eps: float = 1e-5,
+    force_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Fused residual block ``x + b_out + LA(LN_gamma(x))``.
+
+    x: [B, N, C]; gamma: [C] LN scale; w_qkv: [C, 3H]; w_out: [H, C];
+    b_out: [C]. Pallas on TPU (channel-major internally — the two boundary
+    transposes are XLA relayout copies), XLA reference elsewhere.
+    """
+    use_pallas = (
+        force_pallas if force_pallas is not None else jax.default_backend() == "tpu"
+    )
+    if not use_pallas:
+        return linear_attention_block_reference(
+            x, gamma, w_qkv, w_out, b_out, heads, dim_head, eps
+        )
+    b, n, c = x.shape
+    yt = _linear_attention_block_pallas(
+        jnp.swapaxes(x, -1, -2),     # [B, C, N]
+        gamma.reshape(c, 1),
+        jnp.swapaxes(w_qkv, 0, 1),   # [3H, C]
+        w_out,                       # [H, C], head-major rows
+        b_out.reshape(c, 1),
+        heads, dim_head, eps, False,
+    )
+    return jnp.swapaxes(yt, -1, -2)

@@ -76,3 +76,59 @@ def test_backward_multi_tile():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-4, err_msg=name
         )
+
+
+# ---- fused pre-norm residual block kernel ----
+
+
+def _block_setup(b=2, n=256, c=32, seed=1):
+    ks = jax.random.split(jax.random.key(seed), 5)
+    x = jax.random.normal(ks[0], (b, n, c))
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[1], (c,))
+    w_qkv = jax.random.normal(ks[2], (c, 3 * H)) / np.sqrt(c)
+    w_out = jax.random.normal(ks[3], (H, c)) / np.sqrt(H)
+    b_out = 0.1 * jax.random.normal(ks[4], (c,))
+    return x, gamma, w_qkv, w_out, b_out
+
+
+def _block_interpret(x, gamma, w_qkv, w_out, b_out):
+    b, n, c = x.shape
+    yt = pa._linear_attention_block_pallas(
+        jnp.swapaxes(x, -1, -2), gamma.reshape(c, 1),
+        jnp.swapaxes(w_qkv, 0, 1), w_out, b_out.reshape(c, 1),
+        HEADS, DH, 1e-5, True
+    )
+    return jnp.swapaxes(yt, -1, -2)
+
+
+@pytest.mark.parametrize("n,c", [(256, 32), (128, 64), (1024, 32)])
+def test_block_forward_matches_reference(n, c):
+    x, gamma, w_qkv, w_out, b_out = _block_setup(n=n, c=c)
+    ref = pa.linear_attention_block_reference(
+        x, gamma, w_qkv, w_out, b_out, HEADS, DH
+    )
+    got = _block_interpret(x, gamma, w_qkv, w_out, b_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n,c", [(256, 32), (1024, 32)])
+def test_block_backward_matches_reference(n, c):
+    x, gamma, w_qkv, w_out, b_out = _block_setup(n=n, c=c, b=3, seed=7)
+
+    def loss_ref(*args):
+        return jnp.sum(jnp.sin(pa.linear_attention_block_reference(
+            *args, HEADS, DH)))
+
+    def loss_pal(*args):
+        return jnp.sum(jnp.sin(_block_interpret(*args)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+        x, gamma, w_qkv, w_out, b_out)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4))(
+        x, gamma, w_qkv, w_out, b_out)
+    names = ("dx", "dgamma", "dw_qkv", "dw_out", "db_out")
+    for name, a, b in zip(names, g_ref, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(b).reshape(np.asarray(a).shape), np.asarray(a),
+            atol=5e-4, rtol=5e-4, err_msg=name
+        )
