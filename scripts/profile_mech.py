@@ -1,6 +1,10 @@
 """Profile the mechanics train step on TPU with synthetic batch data."""
 
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
