@@ -180,9 +180,24 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--test-data-root", default=None,
                     help="mechanics: dir containing test/test_level_{1,2}/fields")
+    # inference-time overrides: residual corrections only affect sampling,
+    # so (like the reference, `sample.py:41-44`) they may be changed after
+    # training without retraining
+    ap.add_argument("--correction-mode", default=None, choices=["none", "x0", "xt"])
+    ap.add_argument("--m-correction", type=int, default=None)
+    ap.add_argument("--n-correction", type=int, default=None)
+    ap.add_argument("--guidance-scale", type=float, default=None)
     args = ap.parse_args()
 
     cfg, raw = load_run(args.model_dir, args.step)
+    if args.correction_mode is not None:
+        cfg.correction_mode = args.correction_mode
+    if args.m_correction is not None:
+        cfg.M_correction = args.m_correction
+    if args.n_correction is not None:
+        cfg.N_correction = args.n_correction
+    if args.guidance_scale is not None:
+        cfg.guidance_scale = args.guidance_scale
     out_dir = Path(args.model_dir) / "evaluation"
     i = 1
     while out_dir.exists():

@@ -57,3 +57,23 @@ total = sum(agg.values())
 print(f"total event time: {total/1e3:.1f} ms over {len(events)} events")
 for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:60]:
     print(f"{dur/10/1e3:9.3f} ms/iter  x{cnt[name]:4d}  {name[:110]}")
+
+# category rollup (device ops only — skip host-side python/profiler frames)
+cats = defaultdict(float)
+for name, dur in agg.items():
+    if name.startswith("$") or "PjitFunction" in name or name.startswith("jit_"):
+        continue
+    if "LinearAttentionBlock" in name or "SpatialLinearAttention" in name:
+        cat = "pallas-attn"
+    elif "Block_" in name and "fusion" not in name:
+        cat = "pallas-gn"
+    elif name.startswith("copy"):
+        cat = "copy"
+    elif "convolution" in name or name.startswith("fusion"):
+        cat = "conv/fusion"
+    else:
+        cat = "other"
+    cats[cat] += dur
+print("\ncategory rollup (ms/iter):")
+for cat, dur in sorted(cats.items(), key=lambda kv: -kv[1]):
+    print(f"  {cat:14s} {dur/10/1e3:8.3f}")
