@@ -42,6 +42,9 @@ from physicsinformeddiffusionmodels_tpu.ops.pallas_attention import (
     linear_attention,
     linear_attention_block,
 )
+from physicsinformeddiffusionmodels_tpu.ops.pallas_conv import (
+    conv_gn_film_silu_cm,
+)
 from physicsinformeddiffusionmodels_tpu.ops.pallas_kernels import (
     group_norm_film_silu,
 )
@@ -159,9 +162,28 @@ class Upsample(nn.Module):
         )(x)
 
 
+def channel_major(x):
+    """[B, H, W, C] -> [B, C, H*W] (one XLA relayout copy)."""
+    b, h, w, c = x.shape
+    return jnp.swapaxes(x.reshape(b, h * w, c), 1, 2)
+
+
+def from_channel_major(x_cm, h, w):
+    """[B, C, H*W] -> [B, H, W, C]."""
+    b, c, _ = x_cm.shape
+    return jnp.swapaxes(x_cm, 1, 2).reshape(b, h, w, c)
+
+
 class Block(nn.Module):
     """conv3x3 -> GroupNorm -> (FiLM scale-shift) -> SiLU
-    (`unet_model.py:223-241`)."""
+    (`unet_model.py:223-241`).
+
+    Owns its conv parameters so the SAME module runs in either layout:
+    natural NHWC (conv + XLA-fused GN chain — XLA's preferred form at
+    C >= 128), or channel-major via the fused Pallas Block kernel
+    (ops/pallas_conv.py) when the caller passes ``cm=P``, which is the
+    winning form for narrow channels where XLA's batch-in-lanes conv
+    emitter forces relayout copies around every custom kernel."""
 
     dim_out: int
     groups: int = 8
@@ -169,24 +191,49 @@ class Block(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, scale_shift=None):
-        x = Conv2dPadded(self.dim_out, 3, 1, 1, self.padding_mode, self.dtype)(x)
-        # GroupNorm -> FiLM -> SiLU via the plain-XLA path: XLA fuses the
-        # chain into the neighboring convs' pipeline in the conv emitter's
-        # preferred layout (+58us/block at Darcy level 0), while a fixed-
-        # layout Pallas kernel forces ~700us of relayout copies per block
-        # (measured, scripts/profile_conv2.py).
+    def __call__(self, x, scale_shift=None, *, cm: int = 0):
+        ci = x.shape[1] if cm else x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, ci, self.dim_out)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dim_out,))
         gamma = self.param("gn_scale", nn.initializers.ones, (self.dim_out,))
         beta = self.param("gn_bias", nn.initializers.zeros, (self.dim_out,))
         scale, shift = scale_shift if scale_shift is not None else (None, None)
+        dt = self.dtype or x.dtype
+
+        if cm:
+            assert self.padding_mode == "zeros", "cm path is zero-pad only"
+            return conv_gn_film_silu_cm(
+                x.astype(dt), kernel, bias, gamma, beta, scale, shift,
+                p=cm, groups=self.groups,
+            )
+
+        lead = None
+        if x.ndim == 5:  # [B, F, H, W, C]: frames fold into batch for the conv
+            lead = x.shape[:2]
+            x = x.reshape(-1, *x.shape[2:])
+        if self.padding_mode == "circular":
+            x = _pad2d(x, 1, "circular")
+            padding = "VALID"
+        else:
+            padding = "SAME"
+        h = jax.lax.conv_general_dilated(
+            x.astype(dt), kernel.astype(dt), (1, 1), padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias.astype(dt)
+        if lead is not None:
+            h = h.reshape(*lead, *h.shape[1:])
+        # GN -> FiLM -> SiLU via the plain-XLA path: XLA fuses the chain
+        # into the conv pipeline (measured, scripts/profile_conv2.py).
         return group_norm_film_silu(
-            x, gamma, beta, scale, shift, groups=self.groups
+            h, gamma, beta, scale, shift, groups=self.groups
         )
 
 
 class ResnetBlock(nn.Module):
     """Two FiLM-conditioned blocks + 1x1 residual conv
-    (`unet_model.py:243-267`)."""
+    (`unet_model.py:243-267`). ``cm=P`` runs channel-major on [B, C, N]."""
 
     dim_out: int
     groups: int = 8
@@ -194,21 +241,32 @@ class ResnetBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, time_emb=None):
+    def __call__(self, x, time_emb=None, *, cm: int = 0):
+        ci = x.shape[1] if cm else x.shape[-1]
         scale_shift = None
         if time_emb is not None:
             emb = nn.Dense(self.dim_out * 2, dtype=self.dtype)(nn.silu(time_emb))
-            emb = emb[:, *((None,) * (x.ndim - 2)), :]
+            if not cm:
+                emb = emb[:, *((None,) * (x.ndim - 2)), :]
             scale_shift = jnp.split(emb, 2, axis=-1)
-        h = Block(self.dim_out, self.groups, self.padding_mode, self.dtype)(
-            x, scale_shift
-        )
-        h = Block(self.dim_out, self.groups, self.padding_mode, self.dtype)(h)
-        res = (
-            x
-            if x.shape[-1] == self.dim_out
-            else nn.Conv(self.dim_out, (1, 1), dtype=self.dtype)(x)
-        )
+        h = Block(self.dim_out, self.groups, self.padding_mode, self.dtype,
+                  name="Block_0")(x, scale_shift, cm=cm)
+        h = Block(self.dim_out, self.groups, self.padding_mode, self.dtype,
+                  name="Block_1")(h, cm=cm)
+        if ci == self.dim_out:
+            res = x
+        else:
+            wr = self.param(
+                "res_kernel", nn.initializers.lecun_normal(), (ci, self.dim_out)
+            )
+            br = self.param("res_bias", nn.initializers.zeros, (self.dim_out,))
+            dt = self.dtype or x.dtype
+            if cm:
+                res = jnp.einsum(
+                    "bcn,cd->bdn", x.astype(dt), wr.astype(dt)
+                ) + br.astype(dt)[:, None]
+            else:
+                res = x.astype(dt) @ wr.astype(dt) + br.astype(dt)
         return h + res
 
 
@@ -259,8 +317,8 @@ class LinearAttentionBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
-        *lead, h, w, c = x.shape
+    def __call__(self, x, *, cm: bool = False):
+        c = x.shape[1] if cm else x.shape[-1]
         assert c == self.dim, "residual block requires out dim == in dim"
         hidden = self.heads * self.dim_head
         gamma = self.param("ln_gamma", nn.initializers.ones, (c,))
@@ -268,6 +326,13 @@ class LinearAttentionBlock(nn.Module):
         w_out = self.param("w_out", nn.initializers.lecun_normal(), (hidden, self.dim))
         b_out = self.param("b_out", nn.initializers.zeros, (self.dim,))
         dt = self.dtype or x.dtype
+        if cm:
+            # x: [B, C, N] — the kernel's native layout, no transposes
+            return linear_attention_block(
+                x.astype(dt), gamma, w_qkv, w_out, b_out,
+                heads=self.heads, dim_head=self.dim_head, channel_major=True,
+            )
+        *lead, h, w, _ = x.shape
         tokens = x.reshape(-1, h * w, c).astype(dt)
         out = linear_attention_block(
             tokens, gamma, w_qkv, w_out, b_out,
@@ -438,6 +503,7 @@ class UNet(nn.Module):
     self_condition: bool = False
     frame_attention: bool = True
     cond_path: bool = True
+    cm_conv_stages: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def _maybe_frame(self, fn, x, has_frames):
@@ -532,16 +598,47 @@ class UNet(nn.Module):
         in_out = list(zip(dims[:-1], dims[1:]))
         num_res = len(in_out)
 
+        # Channel-major level stages (experimental, OFF by default): the
+        # whole narrow-channel stage (2 ResnetBlocks + linear attention +
+        # skip) can run channel-major [B, C, N] through the fused Pallas
+        # Block kernel (ops/pallas_conv.py) with one transpose in/out per
+        # stage. Measured on v5e (Darcy, batch 64): the Block kernel's
+        # im2col is lane-rotation-bound (fwd ~0.4 ms, bwd ~0.9-1.2 ms per
+        # Block at level 0) and loses to XLA's conv-pipeline fusion of the
+        # same chain — bench 1901 vs 2289 samples/s/chip — so the default
+        # path keeps XLA convs + the fused attention kernel. Flip
+        # cm_conv_stages=True to re-measure after kernel improvements.
+        def _use_cm(width, xx):
+            return (
+                self.cm_conv_stages
+                and width < 128
+                and xx.ndim == 4
+                and self.padding_mode == "zeros"
+                and xx.shape[-3] == xx.shape[-2]
+            )
+
         hs = []
         for ind, (_, dim_out) in enumerate(in_out):
             is_last = ind >= num_res - 1
-            x = ResnetBlock(dim_out, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
-            x = ResnetBlock(dim_out, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
-            if self.use_sparse_linear_attn:
-                x = LinearAttentionBlock(
-                    dim_out, self.attn_heads, self.attn_dim_head, self.dtype
-                )(x)
-            hs.append(x)
+            if _use_cm(dim_out, x):
+                hgt, wdt = x.shape[-3:-1]
+                xc = channel_major(x)
+                xc = ResnetBlock(dim_out, self.resnet_groups, self.padding_mode, self.dtype)(xc, t, cm=hgt)
+                xc = ResnetBlock(dim_out, self.resnet_groups, self.padding_mode, self.dtype)(xc, t, cm=hgt)
+                if self.use_sparse_linear_attn:
+                    xc = LinearAttentionBlock(
+                        dim_out, self.attn_heads, self.attn_dim_head, self.dtype
+                    )(xc, cm=True)
+                hs.append(("cm", xc))
+                x = from_channel_major(xc, hgt, wdt)
+            else:
+                x = ResnetBlock(dim_out, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
+                x = ResnetBlock(dim_out, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
+                if self.use_sparse_linear_attn:
+                    x = LinearAttentionBlock(
+                        dim_out, self.attn_heads, self.attn_dim_head, self.dtype
+                    )(x)
+                hs.append(("nat", x))
             if not is_last:
                 x = Downsample(dim_out, self.padding_mode, self.dtype)(x)
 
@@ -570,18 +667,38 @@ class UNet(nn.Module):
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind >= num_res - 1
-            x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResnetBlock(dim_in, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
-            x = ResnetBlock(dim_in, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
-            if self.use_sparse_linear_attn:
-                x = LinearAttentionBlock(
-                    dim_in, self.attn_heads, self.attn_dim_head, self.dtype
-                )(x)
+            skip_kind, skip = hs.pop()
+            if skip_kind == "cm" and _use_cm(dim_in, x):
+                hgt, wdt = x.shape[-3:-1]
+                xc = jnp.concatenate([channel_major(x), skip], axis=1)
+                xc = ResnetBlock(dim_in, self.resnet_groups, self.padding_mode, self.dtype)(xc, t, cm=hgt)
+                xc = ResnetBlock(dim_in, self.resnet_groups, self.padding_mode, self.dtype)(xc, t, cm=hgt)
+                if self.use_sparse_linear_attn:
+                    xc = LinearAttentionBlock(
+                        dim_in, self.attn_heads, self.attn_dim_head, self.dtype
+                    )(xc, cm=True)
+                x = from_channel_major(xc, hgt, wdt)
+            else:
+                if skip_kind == "cm":
+                    skip = from_channel_major(skip, *x.shape[-3:-1])
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = ResnetBlock(dim_in, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
+                x = ResnetBlock(dim_in, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
+                if self.use_sparse_linear_attn:
+                    x = LinearAttentionBlock(
+                        dim_in, self.attn_heads, self.attn_dim_head, self.dtype
+                    )(x)
             if not is_last:
                 x = Upsample(dim_in, self.padding_mode, self.dtype)(x)
 
-        x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock(self.dim, self.resnet_groups, self.padding_mode, self.dtype, name="final_block")(x)
+        if _use_cm(self.dim, x):
+            hgt, wdt = x.shape[-3:-1]
+            xc = jnp.concatenate([channel_major(x), channel_major(r)], axis=1)
+            xc = ResnetBlock(self.dim, self.resnet_groups, self.padding_mode, self.dtype, name="final_block")(xc, cm=hgt)
+            x = from_channel_major(xc, hgt, wdt)
+        else:
+            x = jnp.concatenate([x, r], axis=-1)
+            x = ResnetBlock(self.dim, self.resnet_groups, self.padding_mode, self.dtype, name="final_block")(x)
         out_dim = self.out_dim or self.channels
         x = nn.Conv(out_dim, (1, 1), dtype=self.dtype, name="final_conv")(x)
 

@@ -760,27 +760,36 @@ def linear_attention_block(
     dim_head: int = 32,
     eps: float = 1e-5,
     force_pallas: Optional[bool] = None,
+    channel_major: bool = False,
 ) -> jax.Array:
     """Fused residual block ``x + b_out + LA(LN_gamma(x))``.
 
-    x: [B, N, C]; gamma: [C] LN scale; w_qkv: [C, 3H]; w_out: [H, C];
-    b_out: [C]. Pallas on TPU (channel-major internally — the two boundary
-    transposes are XLA relayout copies), XLA reference elsewhere.
+    x: [B, N, C] (or [B, C, N] with ``channel_major=True`` — the kernel's
+    native layout, no boundary transposes); gamma: [C] LN scale; w_qkv:
+    [C, 3H]; w_out: [H, C]; b_out: [C]. Pallas on TPU, XLA reference
+    elsewhere.
     """
     use_pallas = (
         force_pallas if force_pallas is not None else jax.default_backend() == "tpu"
     )
     if not use_pallas:
+        if channel_major:
+            y = linear_attention_block_reference(
+                jnp.swapaxes(x, -1, -2), gamma, w_qkv, w_out, b_out,
+                heads, dim_head, eps
+            )
+            return jnp.swapaxes(y, -1, -2)
         return linear_attention_block_reference(
             x, gamma, w_qkv, w_out, b_out, heads, dim_head, eps
         )
-    b, n, c = x.shape
+    c = x.shape[1] if channel_major else x.shape[-1]
+    xt = x if channel_major else jnp.swapaxes(x, -1, -2)  # [B, C, N]
     yt = _linear_attention_block_pallas(
-        jnp.swapaxes(x, -1, -2),     # [B, C, N]
+        xt,
         gamma.reshape(c, 1),
         jnp.swapaxes(w_qkv, 0, 1),   # [3H, C]
         w_out,                       # [H, C], head-major rows
         b_out.reshape(c, 1),
         heads, dim_head, eps, False,
     )
-    return jnp.swapaxes(yt, -1, -2)
+    return yt if channel_major else jnp.swapaxes(yt, -1, -2)

@@ -127,3 +127,22 @@ def test_video_frames_path():
     x1 = x[:, :1]
     p1 = model.init(jax.random.key(0), x1, jnp.array([1]))
     assert model.apply(p1, x1, jnp.array([1])).shape == (1, 1, P, P, 2)
+
+
+def test_cm_conv_stages_matches_default():
+    """The experimental channel-major conv-stage path must be numerically
+    equivalent to the default path (same params, same math)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from physicsinformeddiffusionmodels_tpu.models.unet import UNet
+
+    x = jax.random.normal(jax.random.key(0), (2, 16, 16, 2))
+    t = jnp.array([3, 50])
+    m_def = UNet(dim=32, channels=2)
+    m_cm = UNet(dim=32, channels=2, cm_conv_stages=True)
+    params = m_def.init(jax.random.key(1), x[:1], t[:1])
+    y_def = m_def.apply(params, x, t)
+    y_cm = m_cm.apply(params, x, t)
+    np.testing.assert_allclose(
+        np.asarray(y_cm), np.asarray(y_def), atol=2e-4, rtol=2e-4)
