@@ -93,16 +93,15 @@ def main():
     key = jax.random.key(0)
     x = jax.random.normal(jax.random.key(1), (args.batch, args.pixels, args.pixels, 2))
 
-    # warmup (compile)
+    # warmup (compile). One base key: the per-step key derives inside the
+    # jitted step from state.step (no per-step split dispatch).
     for i in range(args.warmup):
-        key, k = jax.random.split(key)
-        state, aux = train_step(state, x, k)
+        state, aux = train_step(state, x, key)
     jax.block_until_ready(aux.loss)
 
     t0 = time.perf_counter()
     for i in range(args.steps):
-        key, k = jax.random.split(key)
-        state, aux = train_step(state, x, k)
+        state, aux = train_step(state, x, key)
     jax.block_until_ready(aux.loss)
     dt = time.perf_counter() - t0
     train_sps = args.batch * args.steps / dt / n_chips

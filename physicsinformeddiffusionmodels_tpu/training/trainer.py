@@ -55,9 +55,16 @@ def make_train_step(
 
     ``loss_fn(params, batch, key, step) -> (loss, aux)`` must be pure.
     Returns ``step_fn(state, batch, key) -> (state, aux)``.
+
+    ``key`` is a BASE key: the per-step key is derived inside the jitted
+    step as ``fold_in(key, state.step)``, so the driver loop passes the
+    same key every iteration — no per-step ``jax.random.split`` dispatch
+    (each one is a separate tiny device call; ~1 ms/step of tunnel
+    overhead on the remote-TPU setup).
     """
 
     def step_fn(state: TrainState, batch, key):
+        key = jax.random.fold_in(key, state.step)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, aux), grads = grad_fn(state.params, batch, key, state.step)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -93,9 +100,9 @@ def make_device_resident_step(
     inner = make_train_step(loss_fn, tx, ema_mu=ema_mu, ema_start=ema_start, donate=False)
 
     def step_fn(state: TrainState, data, key):
-        idx_key, step_key = jax.random.split(key)
+        idx_key = jax.random.fold_in(jax.random.fold_in(key, state.step), 1)
         idx = jax.random.randint(idx_key, (batch_size,), 0, data.shape[0])
         batch = jnp.take(data, idx, axis=0)
-        return inner(state, batch, step_key)
+        return inner(state, batch, key)
 
     return jax.jit(step_fn, donate_argnums=(0,))

@@ -246,13 +246,15 @@ def run_darcy(cfg: RunConfig):
     logger = MetricsLogger(str(out_dir), run_name=cfg.name)
 
     t0 = time.time()
+    # one base key for the whole run: the per-step key derives inside the
+    # jitted step from (base, state.step) — no per-step split dispatch
+    key, train_key = jax.random.split(key)
     for it in range(cfg.train_iterations + 1):
-        key, k = jax.random.split(key)
         if data_dev is not None:
-            state, aux = train_step_resident(state, data_dev, k)
+            state, aux = train_step_resident(state, data_dev, train_key)
         else:
             batch = shard_batch(jnp.asarray(next(dl)), mesh)
-            state, aux = train_step(state, batch, k)
+            state, aux = train_step(state, batch, train_key)
 
         if it % cfg.log_freq == 0:
             logger.log(
