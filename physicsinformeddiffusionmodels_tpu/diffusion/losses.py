@@ -188,6 +188,7 @@ def pidm_loss(
     x0_sampler: Optional[Callable] = None,
     ll_clamp: Optional[float] = None,
     model_out_transform: Optional[Callable] = None,
+    noise: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, LossAux]:
     """Full physics-informed diffusion loss (one minibatch).
 
@@ -201,11 +202,16 @@ def pidm_loss(
 
     Args:
       denoise_fn: (x_t, t) -> raw model output (closes over params + cond).
+        Not invoked when ``x0_sampler`` is given (the chain's first model
+        output substitutes for it — see below).
       physics_fn: x0_est -> PhysicsTerms (closes over cond).
-      x0_sampler: optional (x_t, t, key) -> x0 sample via the DDIM chain
-        (x0_estimation='sample' mode, `denoising_utils.py:128-129`). When
-        given, the residual is evaluated on its output while the data loss
-        still targets the first direct model output.
+      x0_sampler: optional (x_t, t, key) -> (x0_sample, first_model_out) via
+        the DDIM chain (x0_estimation='sample' mode,
+        `denoising_utils.py:128-129`). When given, the residual is evaluated
+        on x0_sample while the data loss targets first_model_out — the
+        chain's first model call IS the direct model evaluation at (x_t, t),
+        so no separate call is made (reference reuses it the same way,
+        `denoising_utils.py:744-753`).
       ll_clamp: floor for log-likelihood terms (toy study uses TOY_LL_CLAMP).
       model_out_transform: optional map applied to the raw model output
         before the data loss — the mechanics study compares in the 65x65
@@ -219,10 +225,18 @@ def pidm_loss(
     We use the per-sample variance elementwise instead — same expectation,
     per-sample-correct weighting.
     """
-    noise = jax.random.normal(key, x0.shape, x0.dtype)
+    if noise is None:
+        noise = jax.random.normal(key, x0.shape, x0.dtype)
     x_t = q_sample(sched, x0, t, noise)
 
-    x0_pred, model_out = estimate_x0(sched, denoise_fn, x_t, t, pred_mode)
+    # x0 estimate the physics terms are evaluated on: either the direct
+    # prediction (x0_estimation='mean') or a DDIM-sampled x0, whose first
+    # model call doubles as the direct prediction (one fewer model call).
+    if x0_sampler is not None:
+        key, sub = jax.random.split(key)
+        x0_est, model_out = x0_sampler(x_t, t, sub)
+    else:
+        x0_est, model_out = estimate_x0(sched, denoise_fn, x_t, t, pred_mode)
     if model_out_transform is not None:
         model_out = model_out_transform(model_out)
 
@@ -237,14 +251,6 @@ def pidm_loss(
 
     loss = weights.c_data * data_loss
     data_loss_track = weights.c_data * data_loss
-
-    # x0 estimate the physics terms are evaluated on: either the direct
-    # prediction (x0_estimation='mean') or a DDIM-sampled x0.
-    if x0_sampler is not None:
-        key, sub = jax.random.split(key)
-        x0_est = x0_sampler(x_t, t, sub)
-    else:
-        x0_est = x0_pred
 
     # physics_fn=None -> vanilla DDPM (data loss only)
     terms = physics_fn(x0_est) if physics_fn is not None else PhysicsTerms()

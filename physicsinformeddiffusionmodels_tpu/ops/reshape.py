@@ -52,4 +52,9 @@ def resize_bilinear(x: jax.Array, target: int) -> jax.Array:
     centers) used for the 64<->65 mechanics regridding
     (`residuals_mechanics_K.py:10-21,203`)."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, target, target, c), method="bilinear")
+    # antialias=False is REQUIRED: jax defaults to True, which stretches the
+    # kernel on downsampling (65 -> 64) and diverges from torchvision's
+    # antialias=False weights
+    return jax.image.resize(
+        x, (b, target, target, c), method="bilinear", antialias=False
+    )

@@ -189,8 +189,7 @@ def test_pidm_loss_sample_estimation_mode(sched):
         return 0.1 * x
 
     def sampler(x_t, t, key):
-        x0, _ = ddim_sample_x0(sched, denoise, x_t, t, key, ddim_steps=2)
-        return x0
+        return ddim_sample_x0(sched, denoise, x_t, t, key, ddim_steps=2)
 
     x0 = jax.random.normal(jax.random.key(3), (4, 2))
     t = jnp.array([5, 20, 60, 99])

@@ -101,11 +101,12 @@ def build_loss_fn(model, sched, config):
 
         sampler = None
         if use_ddim:
+            # (x0_sample, first_model_out): the first chain call doubles as
+            # the direct model evaluation (`denoising_utils.py:744-753`)
             def sampler(x_t, tt, k):
-                x0, _ = ddim_sample_x0(
+                return ddim_sample_x0(
                     sched, denoise, x_t, tt, k, ddim_steps=ddim_steps, pred_mode=pred_mode
                 )
-                return x0
 
         return pidm_loss(
             sched,
