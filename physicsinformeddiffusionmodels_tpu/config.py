@@ -55,6 +55,10 @@ class RunConfig:
     topopt_eval: bool = True
     guidance_scale: float = 3.0
     null_cond_prob: float = 0.1
+    # resume from the latest checkpoint under <output_dir>/<name>/model
+    # (reference: load_model_flag, `main.py:16-21`; here the checkpoint also
+    # restores EMA/optimizer/step so a preempted run continues exactly)
+    resume: bool = False
 
     # --- model dims (main.py:122-128) ---
     unet_dim: Optional[int] = None  # darcy 32, mechanics 128

@@ -258,7 +258,7 @@ class MechanicsResidual:
         bcs: jax.Array,
         tol: float = 1e-8,
         maxiter: int = 3000,
-    ) -> jax.Array:
+    ) -> tuple[jax.Array, jax.Array]:
         """FEM solve K_bc(rho) u = f per sample (eval-only).
 
         The reference materializes [B, neq, neq] dense stiffness matrices
@@ -268,6 +268,10 @@ class MechanicsResidual:
         Jacobi-preconditioned CG on the BC-reduced SPD operator (Dirichlet
         values are homogeneous zero, so row+column masking with identity on
         fixed dofs is exact).
+
+        Returns ``(u, relres)`` where relres[b] = ||K u - f|| / ||f|| — the
+        caller must check it (binarized designs have contrast 1e3; CG can
+        stall) and escalate via :meth:`solve_host` for failed samples.
         """
         f, mask = self._bc_data(bcs)
         diag = self._jacobi_diag(rho_e, mask)
@@ -279,7 +283,46 @@ class MechanicsResidual:
         u, _ = jax.scipy.sparse.linalg.cg(
             matvec, f, tol=tol, maxiter=maxiter, M=lambda r: r / diag
         )
-        return u
+        res = matvec(u) - f
+        relres = jnp.linalg.norm(res, axis=1) / jnp.maximum(
+            jnp.linalg.norm(f, axis=1), 1e-30
+        )
+        return u, relres
+
+    def _assemble_sparse_host(self, rho_e: np.ndarray, bcs: np.ndarray):
+        """f64 scipy-sparse BC-masked stiffness of ONE sample.
+
+        Returns (K_csr, f, mask). Semantics identical to the device path
+        (and the reference's dense assembly + row-masking,
+        `residuals_mechanics_K.py:208-238`): Dirichlet rows -> identity,
+        loads zeroed there.
+        """
+        import scipy.sparse as sp
+
+        ed = np.asarray(self.elem_dofs)
+        k_loc = np.asarray(self.k_loc, np.float64)
+        rows = np.repeat(ed, 8, axis=1).reshape(-1)
+        cols = np.tile(ed, (1, 8)).reshape(-1)
+        vals = (np.asarray(rho_e, np.float64)[:, None, None] * k_loc).reshape(-1)
+        K = sp.coo_matrix((vals, (rows, cols)), shape=(self.neq, self.neq)).tocsr()
+
+        f_j, mask_j = self._bc_data(jnp.asarray(bcs)[None])
+        f = np.asarray(f_j[0], np.float64)
+        mask = np.asarray(mask_j[0])
+        d = sp.diags((~mask).astype(np.float64))
+        K = d @ K + sp.diags(mask.astype(np.float64))
+        return K, f, mask
+
+    def solve_host(self, rho_e: np.ndarray, bcs: np.ndarray) -> np.ndarray:
+        """Exact host-side f64 sparse-direct solve of one sample (fallback
+        when CG stalls). rho_e [nels], bcs [nn, nn, 4] (numpy). Matches the
+        reference's dense ``torch.linalg.solve`` semantics
+        (`residuals_mechanics_K.py:329-332`) via scipy sparse LU.
+        """
+        import scipy.sparse.linalg as spla
+
+        K, f, _ = self._assemble_sparse_host(rho_e, bcs)
+        return spla.spsolve(K.tocsc(), f)
 
     def topopt_eval(self, x0_pred: jax.Array, batch: MechanicsBatch):
         """Post-sampling metrics (`residuals_mechanics_K.py:276-347`):
@@ -303,7 +346,7 @@ class MechanicsResidual:
         rho_pred = x0_pred[..., 2]
         rho_bin = jnp.where(rho_pred > 0.5, 1.0, 1e-3)
         rho_bin_e = rho_bin.reshape(rho_bin.shape[0], -1)
-        u_sol = self.solve(rho_bin_e, bcs)
+        u_sol, relres = self.solve(rho_bin_e, bcs)
         compliance_true = jnp.einsum("bi,bi->b", u_sol, f)
 
         rel_ce = (compliance_true - compliance_data) / compliance_data
@@ -313,4 +356,49 @@ class MechanicsResidual:
             "vf_error_full_batch": vf_err,
             "data_residual_mean_abs": jnp.abs(res_data).mean(),
             "rho_binarized": rho_bin,
+            "compliance_data_full_batch": compliance_data,
+            "solve_relres_full_batch": relres,
+            "u_sol_full_batch": u_sol,
         }
+
+    def topopt_eval_checked(
+        self, topopt: dict, bcs: np.ndarray, tol: float = 1e-4
+    ) -> dict:
+        """Host-side convergence guard over :meth:`topopt_eval` output.
+
+        The device CG runs in f32, where binarized designs (contrast 1e3,
+        u ~ 1e3) stagnate around relres ~1e-2 — small enough for an
+        accurate compliance (CG is energy-norm optimal; measured rel. error
+        ~1e-5) but not *provably* converged. Here the TRUE residual of each
+        device solution is re-evaluated in f64 against a host sparse
+        assembly; samples above ``tol`` get their compliance recomputed
+        with an exact f64 sparse-LU solve, so rel_CE is provably computed
+        from a converged solve (reference exactness bar: dense LU,
+        `residuals_mechanics_K.py:329-332`).
+
+        Returns the dict with rel_CE corrected and ``n_solve_fallback`` /
+        ``solve_relres_f64_full_batch`` added. ``bcs``: [B, nn, nn, 4].
+        """
+        rel_ce = np.asarray(topopt["rel_CE_error_full_batch"]).copy()
+        comp_data = np.asarray(topopt["compliance_data_full_batch"])
+        rho_bin = np.asarray(topopt["rho_binarized"])
+        u_sol = np.asarray(topopt["u_sol_full_batch"], np.float64)
+        bcs = np.asarray(bcs)
+
+        import scipy.sparse.linalg as spla
+
+        n_fallback = 0
+        relres64 = np.zeros(len(rel_ce))
+        for i in range(len(rel_ce)):
+            K, f, _ = self._assemble_sparse_host(rho_bin[i].reshape(-1), bcs[i])
+            fn = np.linalg.norm(f)
+            relres64[i] = np.linalg.norm(K @ u_sol[i] - f) / max(fn, 1e-30)
+            if relres64[i] > tol:
+                n_fallback += 1
+                u = spla.spsolve(K.tocsc(), f)
+                rel_ce[i] = (u @ f - comp_data[i]) / comp_data[i]
+        out = dict(topopt)
+        out["rel_CE_error_full_batch"] = rel_ce
+        out["solve_relres_f64_full_batch"] = relres64
+        out["n_solve_fallback"] = n_fallback
+        return out

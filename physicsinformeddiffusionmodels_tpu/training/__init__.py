@@ -10,6 +10,7 @@ from physicsinformeddiffusionmodels_tpu.training.trainer import (
 from physicsinformeddiffusionmodels_tpu.training.checkpoint import (
     latest_checkpoint,
     load_checkpoint,
+    restore_train_state,
     save_checkpoint,
 )
 from physicsinformeddiffusionmodels_tpu.training.metrics import MetricsLogger
@@ -22,6 +23,7 @@ __all__ = [
     "make_train_step",
     "latest_checkpoint",
     "load_checkpoint",
+    "restore_train_state",
     "save_checkpoint",
     "MetricsLogger",
 ]

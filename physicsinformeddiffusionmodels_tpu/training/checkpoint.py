@@ -66,6 +66,46 @@ def load_checkpoint(path: str | os.PathLike, target: Optional[dict] = None) -> d
     return raw
 
 
+def restore_train_state(directory: str | os.PathLike, state):
+    """Restore a ``TrainState`` from the newest checkpoint under ``directory``.
+
+    ``state`` is a freshly created TrainState used as the typed template
+    (structure + dtypes + shardings are taken from it). Returns
+    ``(state, start_step)`` — the restored state with ``step`` advanced, or
+    the input state and 0 if no checkpoint exists. Covers the reference's
+    ``load_model_flag`` resume path (`main.py:16-21`), extended to EMA /
+    optimizer / step so a preempted long run continues exactly.
+    """
+    path = latest_checkpoint(directory)
+    if path is None:
+        return state, 0
+    raw = serialization.msgpack_restore(Path(path).read_bytes())
+    # the stored step is the loop-iteration label at save time; that
+    # iteration's optimizer update is already in the params, so the resumed
+    # run continues at label+1 (exactly reproducing an uninterrupted run —
+    # the per-step PRNG key folds in state.step)
+    step = int(raw["step"]) + 1
+    params = serialization.from_state_dict(state.params, raw["params"])
+    ema = (
+        serialization.from_state_dict(state.ema_params, raw["ema_params"])
+        if raw.get("ema_params")
+        else params
+    )
+    opt_state = (
+        serialization.from_state_dict(state.opt_state, raw["opt_state"])
+        if raw.get("opt_state")
+        else state.opt_state
+    )
+    new_state = state._replace(
+        params=params,
+        ema_params=ema,
+        opt_state=opt_state,
+        step=jax.numpy.asarray(step, state.step.dtype),
+    )
+    print(f"Resumed from {path} at step {step}")
+    return new_state, step
+
+
 def latest_checkpoint(directory: str | os.PathLike) -> Optional[Path]:
     directory = Path(directory)
     if not directory.exists():

@@ -100,7 +100,7 @@ def eval_darcy(cfg: RunConfig, raw, out_dir: Path, no_samples: int, create_gif: 
     return res_b
 
 
-def eval_mechanics(cfg: RunConfig, raw, out_dir: Path, no_samples: int, test_batches: int, seed: int, test_data_root: str | None = None):
+def eval_mechanics(cfg: RunConfig, raw, out_dir: Path, no_samples: int, test_batches: int, seed: int, test_data_root: str | None = None, create_gif: bool = False):
     import train_mechanics as tm
 
     model = tm.UNet(
@@ -117,6 +117,11 @@ def eval_mechanics(cfg: RunConfig, raw, out_dir: Path, no_samples: int, test_bat
     sched = create_schedule(cfg.diff_steps)
     mech = MechanicsResidual(pixels_per_dim=P)
     sample_fn = tm.make_mech_sample_fn(model, sched, mech, cfg)
+    sample_fn_hist = (
+        tm.make_mech_sample_fn(model, sched, mech, cfg, save_history=True)
+        if create_gif
+        else None
+    )
 
     mesh = make_mesh(cfg.mesh_dp, cfg.mesh_tp)
     multi_device = mesh.devices.size > 1
@@ -127,28 +132,53 @@ def eval_mechanics(cfg: RunConfig, raw, out_dir: Path, no_samples: int, test_bat
     for level in ("test_level_1", "test_level_2"):
         ddir = base / "test" / level / "fields"
         if not ddir.exists():
-            print(f"[skip] {ddir} not found")
-            continue
+            raise FileNotFoundError(
+                f"{ddir} not found — the mechanics eval sweep requires both "
+                "test_level_1 (in-distribution) and test_level_2 "
+                "(out-of-distribution) sets (`sample.py:244`); generate them "
+                "with scripts/generate_mechanics_data.py"
+            )
         ds = NpyFieldDataset(str(ddir))
-        res_list, ce_list, vf_list, fm_list = [], [], [], []
+        res_list, ce_list, vf_list, fm_list, fallback = [], [], [], [], 0
         for bi, batch in enumerate(iter_batches(ds, cfg.train_batch_size)):
             b = jnp.asarray(batch)
             if multi_device and b.shape[0] % mesh.shape["dp"] == 0:
                 b = shard_batch(b, mesh)
             key, k = jax.random.split(key)
-            final, residual, compliance, ineq, topopt = sample_fn(params, b, k)
-            res_list.append(np.abs(np.asarray(residual)).mean(axis=1))
+            history = None
+            if bi == 0 and sample_fn_hist is not None:
+                final, residual, compliance, ineq, topopt, history = sample_fn_hist(params, b, k)
+                history = np.asarray(history)
+            else:
+                final, residual, compliance, ineq, topopt = sample_fn(params, b, k)
+            # escalate CG-stalled samples to the exact host solve
+            topopt = mech.topopt_eval_checked(topopt, np.asarray(b)[..., 6:10])
+            fallback += topopt["n_solve_fallback"]
+            res_b = np.abs(np.asarray(residual)).mean(axis=1)
+            res_list.append(res_b)
             ce_list.append(np.asarray(topopt["rel_CE_error_full_batch"]))
             vf_list.append(np.asarray(topopt["vf_error_full_batch"]))
             fm_list.append(floating_material(np.asarray(topopt["rho_binarized"])))
             if bi == 0:
+                # per-sample PNG/CSV (+ GIF) artifacts (`sample.py:174-241`)
                 finals = np.asarray(final)
+                comp = np.asarray(compliance)
+                ldir = out_dir / level
                 for s in range(min(len(finals), no_samples)):
                     for c in range(3):
                         viz.save_field_image(
                             finals[s, :, :, c],
-                            str(out_dir / level / f"sample_{s}_{c}.png"),
+                            str(ldir / f"sample_{s}_{c}.png"),
+                            title=f"eq: {res_b[s]:.2e}\nopt: {comp[s]:.2f}",
                         )
+                        viz.save_csv(
+                            finals[s, :, :, c], str(ldir / f"sample_{s}" / f"sample_{c}.csv")
+                        )
+                        if history is not None:
+                            viz.image_history_to_gif(
+                                history[:, s, :, :, c],
+                                str(ldir / f"sample_{s}" / f"sample_{c}.gif"),
+                            )
             if test_batches != -1 and bi >= test_batches:
                 break
         res = np.concatenate(res_list)
@@ -161,11 +191,18 @@ def eval_mechanics(cfg: RunConfig, raw, out_dir: Path, no_samples: int, test_bat
         np.savetxt(ldir / "rel_CE_error.csv", ce, delimiter=",")
         np.savetxt(ldir / "rel_vf_error.csv", vfe, delimiter=",")
         np.savetxt(ldir / "fm_error.csv", fm, delimiter=",")
+        with open(ldir / "sample_statistics.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["Sample Index", "Residuals (abs)", "rel_CE_error", "rel_vf_error", "fm"])
+            for i in range(len(res)):
+                w.writerow([i, res[i], ce[i], vfe[i], fm[i]])
+            w.writerow(["Mean", np.nanmean(res), np.nanmean(ce), np.nanmean(vfe), np.nanmean(fm)])
         print(f"On {level}:")
         print(
             "CE median error:", np.median(ce), "VF mean error:", np.mean(vfe),
             "FM mean error:", np.mean(fm), "Mean residual:", np.mean(res),
             "Median residual:", np.median(res),
+            f"(exact-solve fallbacks: {fallback}/{len(ce)})",
         )
     print(f"Evaluation done (time: {time.strftime('%H:%M:%S', time.gmtime(time.time()-t0))}).")
 
@@ -210,7 +247,7 @@ def main():
     else:
         eval_mechanics(
             cfg, raw, out_dir, args.no_samples, args.test_batches, args.seed,
-            args.test_data_root,
+            args.test_data_root, create_gif=args.create_gif,
         )
 
 

@@ -174,10 +174,77 @@ def test_cg_solve_matches_dense(mech, dataset):
     f, mask = mech._bc_data(batch.bcs)
     K = mech.assemble_dense(rho_bin, mask)
     u_dense = jnp.linalg.solve(K, f[..., None])[..., 0]
-    u_cg = mech.solve(rho_bin, batch.bcs)
+    u_cg, relres = mech.solve(rho_bin, batch.bcs)
+    # f32 CG floors around 1e-4..1e-2 on binarized systems; the authoritative
+    # f64 check lives in topopt_eval_checked
+    assert np.all(np.asarray(relres) < 1e-2)
     scale = jnp.abs(u_dense).max()
     np.testing.assert_allclose(
         np.asarray(u_cg) / float(scale),
         np.asarray(u_dense) / float(scale),
         atol=5e-4,
+    )
+
+
+def test_cg_converges_binarized_64x64():
+    """VERDICT r1 item 6: on a full-size binarized design (contrast 1e3,
+    neq=8450) the f32 device CG stagnates (relres ~1e-2) but its compliance
+    — the metric rel_CE is built from — must match the exact f64
+    sparse-direct host solve."""
+    mech64 = MechanicsResidual(pixels_per_dim=64)
+    nn = 65
+    # cantilever-ish binarized design: solid beam + root block in a void sea
+    rho = np.full((64, 64), 1e-3, np.float32)
+    rho[28:36, :] = 1.0
+    rho[:, 0:6] = 1.0
+    bcs = np.zeros((1, nn, nn, 4), np.float32)
+    bcs[0, :, 0, 0] = 1.0  # fix x on left edge
+    bcs[0, :, 0, 1] = 1.0  # fix y on left edge
+    bcs[0, 32, 64, 3] = -1.0  # point load at right mid
+    rho_e = jnp.asarray(rho.reshape(1, -1))
+    u, relres = mech64.solve(rho_e, jnp.asarray(bcs))
+    assert float(relres[0]) < 5e-2
+
+    u_host = mech64.solve_host(rho.reshape(-1), bcs[0])
+    K, f, _ = mech64._assemble_sparse_host(rho.reshape(-1), bcs[0])
+    assert np.linalg.norm(K @ u_host - f) / np.linalg.norm(f) < 1e-10
+    comp_cg = float(np.asarray(u[0], np.float64) @ f)
+    comp_host = float(u_host @ f)
+    assert comp_cg == pytest.approx(comp_host, rel=1e-4)
+
+
+def test_topopt_eval_checked_escalates(mech, dataset):
+    """The host guard recomputes rel_CE from an exact f64 solve for any
+    sample whose device solution fails the f64 residual check."""
+    batch = split_mechanics_batch(jnp.asarray(dataset))
+    x0_pred = jnp.concatenate(
+        [
+            batch.solution[:, :-1, :-1, :2],
+            batch.solution[:, :-1, :-1, 2:3],
+        ],
+        axis=-1,
+    )
+    topopt = {k: np.asarray(v) for k, v in mech.topopt_eval(x0_pred, batch).items()}
+    bcs_np = np.asarray(batch.bcs)
+
+    # loose tol: nothing escalates, values pass through
+    ok = mech.topopt_eval_checked(topopt, bcs_np, tol=1.0)
+    assert ok["n_solve_fallback"] == 0
+    np.testing.assert_array_equal(
+        ok["rel_CE_error_full_batch"], topopt["rel_CE_error_full_batch"]
+    )
+    assert np.all(np.isfinite(ok["solve_relres_f64_full_batch"]))
+
+    # impossible tol: every sample escalates; corrupted values are repaired
+    bad = dict(topopt)
+    bad["rel_CE_error_full_batch"] = np.full_like(
+        topopt["rel_CE_error_full_batch"], 1e9
+    )
+    fixed = mech.topopt_eval_checked(bad, bcs_np, tol=0.0)
+    assert fixed["n_solve_fallback"] == len(bcs_np)
+    # exact-solve rel_CE agrees with the (converged) device CG rel_CE
+    np.testing.assert_allclose(
+        fixed["rel_CE_error_full_batch"],
+        topopt["rel_CE_error_full_batch"],
+        atol=1e-3,
     )

@@ -43,6 +43,7 @@ from physicsinformeddiffusionmodels_tpu.training import (
     make_optimizer,
     make_device_resident_step,
     make_train_step,
+    restore_train_state,
     save_checkpoint,
 )
 from physicsinformeddiffusionmodels_tpu.utils import viz
@@ -86,9 +87,20 @@ def build_darcy_loss_fn(model: UNet, sched, physics: DarcyResidual, cfg: RunConf
 
         sampler = None
         if cfg.use_ddim_x0:
+            # returns (x0_sample, first_model_out); the first chain call is
+            # the direct model evaluation at (x_t, t), reused as the data-loss
+            # target (`denoising_utils.py:744-753`) — no duplicate call.
+            # Full-study reference semantics (`denoising_utils.py:746-757`):
+            # the model is re-queried on the ORIGINAL noisy input at the
+            # ladder times — only the DDIM algebra chains (the toy engine
+            # chains the model input instead, `denoising_toy_utils.py:324`).
             def sampler(x_t, tt, k):
-                x0, _ = ddim_sample_x0(sched, denoise, x_t, tt, k, ddim_steps=cfg.ddim_steps)
-                return x0
+                def fixed_denoise(_, ttt):
+                    return denoise(x_t, ttt)
+
+                return ddim_sample_x0(
+                    sched, fixed_denoise, x_t, tt, k, ddim_steps=cfg.ddim_steps
+                )
 
         return pidm_loss(
             sched, batch, t, n_key,
@@ -160,6 +172,8 @@ def main(argv=None):
     ap.add_argument("--pixels-per-dim", type=int, default=None)
     ap.add_argument("--no-samples", type=int, default=None)
     ap.add_argument("--residual-grad-guidance", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint of this run name")
     ap.add_argument("--model-yaml", default=None,
                     help="reference-format model.yaml to configure the run")
     args = ap.parse_args(argv)
@@ -178,6 +192,8 @@ def main(argv=None):
             kw[k_cfg] = v
     if args.residual_grad_guidance:
         kw["residual_grad_guidance"] = True
+    if args.resume:
+        kw["resume"] = True
     if args.model_yaml:
         cfg = RunConfig.from_model_yaml(args.model_yaml, **kw)
     else:
@@ -229,6 +245,9 @@ def run_darcy(cfg: RunConfig):
 
     tx = make_optimizer(cfg.lr, cfg.grad_clip)
     state = create_train_state(params, tx)
+    start_it = 0
+    if cfg.resume:
+        state, start_it = restore_train_state(out_dir / "model", state)
     loss_fn = build_darcy_loss_fn(model, sched, physics, cfg)
     train_step = make_train_step(loss_fn, tx, ema_mu=cfg.ema_decay, ema_start=cfg.ema_start)
     # single-device: keep the whole (few-MB) dataset in HBM and gather the
@@ -249,7 +268,7 @@ def run_darcy(cfg: RunConfig):
     # one base key for the whole run: the per-step key derives inside the
     # jitted step from (base, state.step) — no per-step split dispatch
     key, train_key = jax.random.split(key)
-    for it in range(cfg.train_iterations + 1):
+    for it in range(start_it, cfg.train_iterations + 1):
         if data_dev is not None:
             state, aux = train_step_resident(state, data_dev, train_key)
         else:

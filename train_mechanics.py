@@ -50,6 +50,7 @@ from physicsinformeddiffusionmodels_tpu.training import (
     make_optimizer,
     make_device_resident_step,
     make_train_step,
+    restore_train_state,
     save_checkpoint,
 )
 from physicsinformeddiffusionmodels_tpu.utils import viz
@@ -92,10 +93,12 @@ def build_mechanics_loss_fn(model: UNet, sched, mech: MechanicsResidual, cfg: Ru
                 def fixed_denoise(_, ttt):
                     return model.apply(params, fixed_input, ttt)
 
-                x0, _ = ddim_sample_x0(
+                # (x0_sample, first_model_out): the chain's first call doubles
+                # as the direct prediction for the data loss
+                # (`denoising_utils.py:744-753`)
+                return ddim_sample_x0(
                     sched, fixed_denoise, x0_64, tt, k, ddim_steps=cfg.ddim_steps
                 )
-                return x0
 
         return pidm_loss(
             sched,
@@ -113,10 +116,13 @@ def build_mechanics_loss_fn(model: UNet, sched, mech: MechanicsResidual, cfg: Ru
     return loss_fn
 
 
-def make_mech_sample_fn(model: UNet, sched, mech: MechanicsResidual, cfg: RunConfig):
+def make_mech_sample_fn(model: UNet, sched, mech: MechanicsResidual, cfg: RunConfig,
+                        save_history: bool = False):
     """Conditional ancestral sampling at the 65x65 state resolution; each
     step resizes for the model and converts the prediction back
-    (`denoising_utils.py:388-455` with `residuals_mechanics_K.compute_residual`)."""
+    (`denoising_utils.py:388-455` with `residuals_mechanics_K.compute_residual`).
+    With ``save_history`` the [T, B, 65, 65, 3] denoising trajectory is
+    appended to the outputs (for GIF dumps, `sample.py:213-236`)."""
     P = cfg.pixels_per_dim
 
     @jax.jit
@@ -132,6 +138,7 @@ def make_mech_sample_fn(model: UNet, sched, mech: MechanicsResidual, cfg: RunCon
         result = p_sample_loop(
             sched, denoise, (B, P + 1, P + 1, 3), key,
             use_dynamic_threshold=cfg.use_dynamic_threshold,
+            save_history=save_history,
         )
         # final state at t=0 == converted x0 prediction (posterior coef1[0]=1)
         final = result.x
@@ -144,6 +151,8 @@ def make_mech_sample_fn(model: UNet, sched, mech: MechanicsResidual, cfg: RunCon
             [resize_bilinear(disp65, P), final[:, :-1, :-1, 2:3]], axis=-1
         )
         topopt = mech.topopt_eval(x0_64, mb) if cfg.topopt_eval else {}
+        if save_history:
+            return final, residual, compliance, ineq, topopt, result.history
         return final, residual, compliance, ineq, topopt
 
     return sample_fn
@@ -190,6 +199,9 @@ def run_mechanics(cfg: RunConfig):
 
     tx = make_optimizer(cfg.lr, cfg.grad_clip)
     state = create_train_state(params, tx)
+    start_it = 0
+    if cfg.resume:
+        state, start_it = restore_train_state(out_dir / "model", state)
     loss_fn = build_mechanics_loss_fn(model, sched, mech, cfg)
     train_step = make_train_step(loss_fn, tx, ema_mu=cfg.ema_decay, ema_start=cfg.ema_start)
     eval_loss = jax.jit(lambda p, b, k: loss_fn(p, b, k, 0)[1])
@@ -207,7 +219,7 @@ def run_mechanics(cfg: RunConfig):
     logger = MetricsLogger(str(out_dir), run_name=cfg.name)
     t0 = time.time()
     key, train_key = jax.random.split(key)
-    for it in range(cfg.train_iterations + 1):
+    for it in range(start_it, cfg.train_iterations + 1):
         if data_dev is not None:
             state, aux = train_step_resident(state, data_dev, train_key)
         else:
@@ -244,11 +256,14 @@ def run_mechanics(cfg: RunConfig):
                 "residual_median_abs_samples": np.nanmedian(res_b),
             }
             if cfg.topopt_eval:
+                # escalate CG-stalled samples to the exact host solve
+                topopt = mech.topopt_eval_checked(topopt, np.asarray(vb)[..., 6:10])
                 fm = floating_material(np.asarray(topopt["rho_binarized"]))
                 metrics.update(
                     rel_CE_error=np.nanmean(np.asarray(topopt["rel_CE_error_full_batch"])),
                     rel_vf_error=np.nanmean(np.asarray(topopt["vf_error_full_batch"])),
                     fm_error=float(fm.mean()),
+                    n_solve_fallback=topopt["n_solve_fallback"],
                 )
             logger.log(metrics, step=it)
             step_dir = out_dir / "training" / f"step_{it}"
@@ -287,6 +302,8 @@ if __name__ == "__main__":
     ap.add_argument("--sample-freq", type=int, default=20000)
     ap.add_argument("--test-eval-freq", type=int, default=500)
     ap.add_argument("--no-samples", type=int, default=8)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint of this run name")
     a = ap.parse_args()
     cfg = RunConfig(
         gov_eqs="mechanics", name=a.name, train_iterations=a.iterations,
@@ -295,6 +312,6 @@ if __name__ == "__main__":
         x0_estimation=a.x0_estimation, c_residual=a.c_residual,
         sample_freq=a.sample_freq, test_eval_freq=a.test_eval_freq,
         no_samples=a.no_samples, c_ineq=1e-3, lambda_opt=1e-6,
-        unet_dim=a.unet_dim,
+        unet_dim=a.unet_dim, resume=a.resume,
     )
     run_mechanics(cfg)
