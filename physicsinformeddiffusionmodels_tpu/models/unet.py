@@ -615,6 +615,9 @@ class UNet(nn.Module):
                 and xx.ndim == 4
                 and self.padding_mode == "zeros"
                 and xx.shape[-3] == xx.shape[-2]
+                # kernel halo bound: tap shifts reach +-(p+1) within a
+                # 128-lane-aligned window (pallas_conv._PADW)
+                and xx.shape[-2] <= 127
             )
 
         hs = []

@@ -723,16 +723,19 @@ def _linear_attention_block_pallas(xt, gammaT, w_qkvT, w_outT, bout,
 def _lab_fwd(xt, gammaT, w_qkvT, w_outT, bout, heads, dh, eps, interpret):
     y = _lab_fwd_call(xt, gammaT, w_qkvT, w_outT, bout, heads, dh, eps,
                       interpret)
-    return y, (xt, gammaT, w_qkvT, w_outT)
+    # bout ([C,1], tiny) rides along solely to carry its dtype for the
+    # cotangent cast — it may differ from w_outT's (e.g. fp32 bias with
+    # bf16 weights)
+    return y, (xt, gammaT, w_qkvT, w_outT, bout)
 
 
 def _lab_bwd(heads, dh, eps, interpret, res, dyt):
-    xt, gammaT, w_qkvT, w_outT = res
+    xt, gammaT, w_qkvT, w_outT, bout = res
     dxt, dgammaT, dwqkvT, dwoutT, dbout = _lab_bwd_call(
         xt, gammaT, w_qkvT, w_outT, dyt, heads, dh, eps, interpret
     )
     return (dxt, dgammaT.astype(gammaT.dtype), dwqkvT.astype(w_qkvT.dtype),
-            dwoutT.astype(w_outT.dtype), dbout.astype(w_outT.dtype))
+            dwoutT.astype(w_outT.dtype), dbout.astype(bout.dtype))
 
 
 _linear_attention_block_pallas.defvjp(_lab_fwd, _lab_bwd)

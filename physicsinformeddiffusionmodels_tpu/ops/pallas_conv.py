@@ -484,6 +484,13 @@ def conv_gn_film_silu_cm(
     """
     bsz, ci, n = x_cm.shape
     co = w.shape[-1]
+    if p + 1 > _PADW:
+        # the nine tap views are static slices at offset _PADW+s (s up to
+        # p+1) inside one aligned window — wider images run off the halo
+        raise ValueError(
+            f"conv_gn_film_silu_cm supports p <= {_PADW - 1} (got p={p}); "
+            "use the XLA reference path for larger images"
+        )
     use_pallas = (
         force_pallas if force_pallas is not None
         else jax.default_backend() == "tpu"

@@ -26,7 +26,12 @@ def apply_platform_env():
         jax.config.update("jax_platforms", requested)
 
     cache = os.environ.get("PIDM_COMPILE_CACHE", "")
-    if cache not in ("0", "", "off") and requested != "cpu":
+    if cache not in ("0", "", "off"):
+        # gate on the RESOLVED backend, not just the env var: on a CPU-only
+        # host with JAX_PLATFORMS unset the cache would otherwise still be
+        # enabled — exactly the XLA:CPU AOT/SIGILL hazard above
+        if requested == "cpu" or jax.default_backend() == "cpu":
+            return
         jax.config.update("jax_compilation_cache_dir", os.path.expanduser(cache))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
