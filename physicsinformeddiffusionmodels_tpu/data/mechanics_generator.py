@@ -178,9 +178,9 @@ def simp_topopt(
     return rho
 
 
-def _random_scenario(fem: MechanicsFEM, rng: np.random.Generator):
-    """Randomized cantilever-style load case: left edge fully clamped, unit
-    point load at a random right-edge node with a random direction."""
+def _scenario_cantilever(fem: MechanicsFEM, rng: np.random.Generator):
+    """Training family: left edge fully clamped, unit point load at a random
+    right-edge node with a random direction."""
     nn = fem.nn
     fixed = np.zeros(fem.neq, bool)
     left_nodes = np.arange(nn) * nn  # nodes (i, 0)
@@ -196,14 +196,93 @@ def _random_scenario(fem: MechanicsFEM, rng: np.random.Generator):
     return fixed, f
 
 
-def generate_sample(
-    fem: MechanicsFEM, rng: np.random.Generator, penal: float = 3.0, n_iter: int = 30
+def _scenario_cantilever_multiload(fem: MechanicsFEM, rng: np.random.Generator):
+    """OOD: left edge clamped, TWO independent right-edge point loads —
+    load multiplicity never seen in training."""
+    nn = fem.nn
+    fixed = np.zeros(fem.neq, bool)
+    left_nodes = np.arange(nn) * nn
+    fixed[2 * left_nodes] = True
+    fixed[2 * left_nodes + 1] = True
+
+    f = np.zeros(fem.neq)
+    rows = rng.choice(nn, size=2, replace=False)
+    for load_row in rows:
+        load_node = int(load_row) * nn + (nn - 1)
+        angle = rng.uniform(-np.pi / 2, np.pi / 2)
+        f[2 * load_node] += np.cos(angle) * 0.2
+        f[2 * load_node + 1] += -abs(np.sin(angle)) - 0.2
+    return fixed, f
+
+
+def _scenario_bridge(fem: MechanicsFEM, rng: np.random.Generator):
+    """OOD: simply-supported 'bridge' — bottom-left corner pinned (x+y),
+    bottom-right corner roller (y), downward point load on a random top-edge
+    node. Support topology never seen in training."""
+    nn = fem.nn
+    fixed = np.zeros(fem.neq, bool)
+    # node (i, j) has id i*nn + j with y=i: bottom edge is i = 0
+    bl = 0  # node (0, 0)
+    br = nn - 1  # node (0, nn-1)
+    fixed[2 * bl] = True
+    fixed[2 * bl + 1] = True
+    fixed[2 * br + 1] = True
+
+    load_col = int(rng.integers(nn // 4, 3 * nn // 4))
+    load_node = (nn - 1) * nn + load_col  # top edge (i = nn-1)
+    f = np.zeros(fem.neq)
+    f[2 * load_node] = rng.uniform(-0.2, 0.2)
+    f[2 * load_node + 1] = -1.0
+    return fixed, f
+
+
+def _scenario_double_clamp(fem: MechanicsFEM, rng: np.random.Generator):
+    """OOD: BOTH vertical edges fully clamped, downward load at a random
+    bottom-edge node in the middle half."""
+    nn = fem.nn
+    fixed = np.zeros(fem.neq, bool)
+    left_nodes = np.arange(nn) * nn
+    right_nodes = np.arange(nn) * nn + (nn - 1)
+    for nodes in (left_nodes, right_nodes):
+        fixed[2 * nodes] = True
+        fixed[2 * nodes + 1] = True
+
+    load_col = int(rng.integers(nn // 4, 3 * nn // 4))
+    load_node = 0 * nn + load_col  # bottom edge (i = 0)
+    angle = rng.uniform(-np.pi / 2, np.pi / 2)
+    f = np.zeros(fem.neq)
+    f[2 * load_node] = np.cos(angle) * 0.2
+    f[2 * load_node + 1] = -abs(np.sin(angle)) - 0.2
+    return fixed, f
+
+
+# in-distribution = the training family; test_level_2 mixes the three OOD
+# support/load topologies (reference split semantics: `sample.py:244-342`
+# evaluates test_level_1 (in-) and test_level_2 (out-of-distribution))
+SCENARIO_FAMILIES = {
+    "cantilever": _scenario_cantilever,
+    "cantilever_multiload": _scenario_cantilever_multiload,
+    "bridge": _scenario_bridge,
+    "double_clamp": _scenario_double_clamp,
+}
+
+
+def fields_from_design(
+    fem: MechanicsFEM,
+    rho: np.ndarray,
+    fixed: np.ndarray,
+    f: np.ndarray,
+    penal: float = 3.0,
 ) -> np.ndarray:
-    """One [nn, nn, 10] sample in the reference channel order."""
+    """[nn, nn, 10] sample (reference channel order) from a converged design.
+
+    The FINAL solve is always this host-side exact sparse-LU — regardless of
+    how the design ``rho`` was optimized (host SIMP or the TPU-batched SIMP
+    in ``mechanics_generator_tpu``) — so every emitted sample satisfies the
+    invariant the reference asserts at load time, K(E) u - f ~= 0
+    (`residuals_mechanics_K.py:303-305`), to solver precision.
+    """
     P, nn = fem.nels_per_side, fem.nn
-    vf = float(rng.uniform(0.3, 0.6))
-    fixed, f = _random_scenario(fem, rng)
-    rho = simp_topopt(fem, vf, f, fixed, penal=penal, n_iter=n_iter)
     e_field = E_MIN + rho**penal * (1.0 - E_MIN)
     u = fem.solve(e_field, f, fixed)
 
@@ -240,6 +319,21 @@ def generate_sample(
     return np.stack(channels, axis=-1).astype(np.float32)
 
 
+def generate_sample(
+    fem: MechanicsFEM,
+    rng: np.random.Generator,
+    penal: float = 3.0,
+    n_iter: int = 30,
+    family: str = "cantilever",
+    vf_range: tuple[float, float] = (0.3, 0.6),
+) -> np.ndarray:
+    """One [nn, nn, 10] sample in the reference channel order."""
+    vf = float(rng.uniform(*vf_range))
+    fixed, f = SCENARIO_FAMILIES[family](fem, rng)
+    rho = simp_topopt(fem, vf, f, fixed, penal=penal, n_iter=n_iter)
+    return fields_from_design(fem, rho, fixed, f, penal=penal)
+
+
 def generate_dataset(
     n_samples: int,
     nels_per_side: int = 64,
@@ -247,13 +341,25 @@ def generate_dataset(
     out_dir: str | None = None,
     penal: float = 3.0,
     n_iter: int = 30,
+    families: tuple[str, ...] = ("cantilever",),
+    vf_range: tuple[float, float] = (0.3, 0.6),
 ) -> np.ndarray:
     """Generate [N, nn, nn, 10] mechanics samples; with ``out_dir``, write
-    per-sample ``<i>.npy`` files (the layout ``NpyFieldDataset`` loads)."""
+    per-sample ``<i>.npy`` files (the layout ``NpyFieldDataset`` loads).
+
+    ``families`` cycles round-robin over scenario families — the training /
+    test_level_1 sets use the default cantilever family; test_level_2 mixes
+    the OOD families (and optionally a shifted ``vf_range``)."""
     fem = MechanicsFEM(nels_per_side)
     rng = np.random.default_rng(seed)
     samples = np.stack(
-        [generate_sample(fem, rng, penal=penal, n_iter=n_iter) for _ in range(n_samples)]
+        [
+            generate_sample(
+                fem, rng, penal=penal, n_iter=n_iter,
+                family=families[i % len(families)], vf_range=vf_range,
+            )
+            for i in range(n_samples)
+        ]
     )
     if out_dir is not None:
         out = Path(out_dir)

@@ -165,7 +165,12 @@ class MechanicsResidual:
         u = u.astype(jnp.float32)
         rho_e = rho_e.astype(jnp.float32)
         u_e = u[:, self.elem_dofs]  # [B, nels, 8]
-        ku_e = jnp.einsum("pq,beq->bep", self.k_loc, u_e) * rho_e[..., None]
+        # broadcast-multiply + sum instead of einsum: a [8,8] contraction is
+        # VPU work, and the MXU einsum route costs exactness — TPU f32
+        # einsum defaults to bf16 multiplies, whose noise inside CG can
+        # drive p^T A p <= 0 -> NaN (observed on v5e)
+        ku_e = (u_e[:, :, None, :] * self.k_loc[None, None]).sum(-1)
+        ku_e = ku_e * rho_e[..., None]
         B = u.shape[0]
         flat_idx = jnp.broadcast_to(
             self.elem_dofs.reshape(1, -1), (B, self.nels * 8)
@@ -209,7 +214,7 @@ class MechanicsResidual:
     def compliance(self, u: jax.Array, rho_e: jax.Array, mask: jax.Array) -> jax.Array:
         """u^T K_bc u per sample (`residuals_mechanics_K.py:257-261`)."""
         ku_bc = jnp.where(mask, u, self._Ku(rho_e, u))
-        return jnp.einsum("bi,bi->b", u, ku_bc)
+        return (u.astype(jnp.float32) * ku_bc).sum(-1)  # exact f32 reduce
 
     def evaluate(self, x0_pred: jax.Array, bcs: jax.Array, vf: jax.Array) -> PhysicsTerms:
         """Physics terms from a model x0 prediction.

@@ -32,7 +32,9 @@ import sys
 import time
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the container exports JAX_PLATFORMS=axon (the TPU
+# backend); this baseline must compare on the host CPU on both sides
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
