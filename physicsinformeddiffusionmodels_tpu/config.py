@@ -69,6 +69,12 @@ class RunConfig:
     # --- parallelism ---
     mesh_dp: Optional[int] = None  # default: all devices
     mesh_tp: int = 1
+    # with mesh_tp > 1: shard wide-stage activation channels over 'tp'
+    # (UNet.tp_mesh) so GSPMD keeps the conv chain partitioned
+    tp_shard_activations: bool = False
+    # with mesh_tp > 1: run linear attention sequence-parallel over 'tp'
+    # (UNet.sp_mesh) — scales attention past single-chip memory at >64^2
+    seq_parallel_attn: bool = False
     # --- compute dtype ('float32' | 'bfloat16' for model compute) ---
     # bfloat16 activations/convs with float32 params & loss — the TPU-native
     # default (MXU-rate matmuls, half the HBM traffic). float32 available

@@ -37,6 +37,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from physicsinformeddiffusionmodels_tpu.ops.pallas_attention import (
     linear_attention,
@@ -315,6 +316,13 @@ class LinearAttentionBlock(nn.Module):
     heads: int = 8
     dim_head: int = 32
     dtype: Optional[jnp.dtype] = None
+    # sequence-parallel execution: tokens sharded over sp_mesh axis
+    # ``sp_axis`` (batch over ``sp_batch_axis``), cross-device softmax/ctx
+    # statistics via parallel.seq_attention — scales attention past
+    # single-chip memory at >64^2 resolutions (net-new vs the reference)
+    sp_mesh: Optional[Mesh] = None
+    sp_axis: str = "tp"
+    sp_batch_axis: Optional[str] = "dp"
 
     @nn.compact
     def __call__(self, x, *, cm: bool = False):
@@ -334,10 +342,43 @@ class LinearAttentionBlock(nn.Module):
             )
         *lead, h, w, _ = x.shape
         tokens = x.reshape(-1, h * w, c).astype(dt)
-        out = linear_attention_block(
-            tokens, gamma, w_qkv, w_out, b_out,
-            heads=self.heads, dim_head=self.dim_head,
-        )
+        n = h * w
+        if (
+            self.sp_mesh is not None
+            and n % self.sp_mesh.shape[self.sp_axis] == 0
+            and self.sp_mesh.shape[self.sp_axis] > 1
+        ):
+            from physicsinformeddiffusionmodels_tpu.parallel.seq_attention import (
+                sequence_sharded_linear_attention_block,
+            )
+
+            ba = self.sp_batch_axis
+            if ba is not None and tokens.shape[0] % self.sp_mesh.shape[ba] != 0:
+                ba = None
+            # pin the tokens batch-only HERE so the shard_map's token-sharded
+            # in_spec reshards at this boundary instead of back-propagating a
+            # spatial sharding into the upstream conv chain (GSPMD partitions
+            # the manually-padded strided Downsample conv WRONG on a spatially
+            # sharded output — verified wrong-by-16 on the 8-device CPU mesh)
+            tokens = jax.lax.with_sharding_constraint(
+                tokens, NamedSharding(self.sp_mesh, PartitionSpec(ba, None, None))
+            )
+            out = sequence_sharded_linear_attention_block(
+                tokens, gamma.astype(jnp.float32), w_qkv.astype(dt),
+                w_out.astype(dt), b_out.astype(jnp.float32),
+                self.sp_mesh, self.sp_axis,
+                heads=self.heads, dim_head=self.dim_head,
+                batch_axis=ba,
+                # conv/pad stages are not spatially partitioned — gather the
+                # tokens inside the shard_map so no tp-sharded activation
+                # escapes into GSPMD propagation (see seq_attention docstring)
+                gather_output=True,
+            )
+        else:
+            out = linear_attention_block(
+                tokens, gamma, w_qkv, w_out, b_out,
+                heads=self.heads, dim_head=self.dim_head,
+            )
         return out.reshape(*lead, h, w, self.dim)
 
 
@@ -505,6 +546,33 @@ class UNet(nn.Module):
     cond_path: bool = True
     cm_conv_stages: bool = False
     dtype: Optional[jnp.dtype] = None
+    # tensor parallelism: constrain wide-stage activations to
+    # P('dp', None, None, 'tp') so GSPMD keeps channels partitioned through
+    # the conv chain (paired with parallel.mesh.shard_params' output-feature
+    # kernel sharding) instead of all-gathering weights at every block.
+    # Target: the mechanics dim=128 model (VERDICT r1 item 7).
+    tp_mesh: Optional[Mesh] = None
+    tp_min_width: int = 128
+    # sequence-parallel linear attention (see LinearAttentionBlock.sp_mesh)
+    sp_mesh: Optional[Mesh] = None
+
+    def _tp_constrain(self, x):
+        """Channel-shard a [B, H, W, C] activation over ('dp', 'tp')."""
+        m = self.tp_mesh
+        if m is None or x.ndim != 4:
+            return x
+        tp = m.shape["tp"]
+        c = x.shape[-1]
+        # group-aligned only: GN has resnet_groups groups over C
+        if tp <= 1 or c < self.tp_min_width or c % tp or self.resnet_groups % tp:
+            return x
+        # batch axis joins the constraint only when divisible (init uses B=1)
+        ba = "dp" if x.shape[0] % m.shape["dp"] == 0 else None
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(m, PartitionSpec(ba, None, None, "tp"))
+        )
+        self.sow("intermediates", "tp_act", x)
+        return x
 
     def _maybe_frame(self, fn, x, has_frames):
         """Apply a frame-axis module; no-op path handled inside FrameAttention."""
@@ -635,18 +703,25 @@ class UNet(nn.Module):
                 hs.append(("cm", xc))
                 x = from_channel_major(xc, hgt, wdt)
             else:
-                x = ResnetBlock(dim_out, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
-                x = ResnetBlock(dim_out, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
+                x = self._tp_constrain(
+                    ResnetBlock(dim_out, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
+                )
+                x = self._tp_constrain(
+                    ResnetBlock(dim_out, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
+                )
                 if self.use_sparse_linear_attn:
-                    x = LinearAttentionBlock(
-                        dim_out, self.attn_heads, self.attn_dim_head, self.dtype
-                    )(x)
+                    x = self._tp_constrain(LinearAttentionBlock(
+                        dim_out, self.attn_heads, self.attn_dim_head, self.dtype,
+                        sp_mesh=self.sp_mesh,
+                    )(x))
                 hs.append(("nat", x))
             if not is_last:
                 x = Downsample(dim_out, self.padding_mode, self.dtype)(x)
 
         mid_dim = dims[-1]
-        x = ResnetBlock(mid_dim, self.resnet_groups, self.padding_mode, self.dtype, name="mid_block1")(x, t)
+        x = self._tp_constrain(
+            ResnetBlock(mid_dim, self.resnet_groups, self.padding_mode, self.dtype, name="mid_block1")(x, t)
+        )
 
         # full spatial attention over the bottleneck tokens (`unet_model.py:497-499`)
         h_mid, w_mid = x.shape[-3:-1]
@@ -666,7 +741,9 @@ class UNet(nn.Module):
             )
             x = self._maybe_frame(mid_frame_attn, x, has_frames)
 
-        x = ResnetBlock(mid_dim, self.resnet_groups, self.padding_mode, self.dtype, name="mid_block2")(x, t)
+        x = self._tp_constrain(
+            ResnetBlock(mid_dim, self.resnet_groups, self.padding_mode, self.dtype, name="mid_block2")(x, t)
+        )
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind >= num_res - 1
@@ -685,12 +762,17 @@ class UNet(nn.Module):
                 if skip_kind == "cm":
                     skip = from_channel_major(skip, *x.shape[-3:-1])
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = ResnetBlock(dim_in, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
-                x = ResnetBlock(dim_in, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
+                x = self._tp_constrain(
+                    ResnetBlock(dim_in, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
+                )
+                x = self._tp_constrain(
+                    ResnetBlock(dim_in, self.resnet_groups, self.padding_mode, self.dtype)(x, t)
+                )
                 if self.use_sparse_linear_attn:
-                    x = LinearAttentionBlock(
-                        dim_in, self.attn_heads, self.attn_dim_head, self.dtype
-                    )(x)
+                    x = self._tp_constrain(LinearAttentionBlock(
+                        dim_in, self.attn_heads, self.attn_dim_head, self.dtype,
+                        sp_mesh=self.sp_mesh,
+                    )(x))
             if not is_last:
                 x = Upsample(dim_in, self.padding_mode, self.dtype)(x)
 

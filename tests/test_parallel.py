@@ -153,3 +153,89 @@ def test_sharded_sampling_matches_single_device(devices):
     np.testing.assert_allclose(
         np.asarray(single), np.asarray(sharded), atol=1e-5
     )
+
+
+def test_unet_tp_activation_sharding(devices):
+    """VERDICT r1 item 7: with tp_mesh set, the UNet's wide-stage
+    activations are ACTUALLY partitioned over 'tp' (not just the params) —
+    asserted on the sown post-constraint activations."""
+    from jax.sharding import PartitionSpec as P
+
+    from physicsinformeddiffusionmodels_tpu.models.unet import UNet
+
+    mesh = make_mesh(dp=4, tp=2, devices=devices[:8])
+    model = UNet(dim=32, channels=2, tp_mesh=mesh, tp_min_width=32,
+                 frame_attention=False)
+    x = jnp.zeros((8, 16, 16, 2))
+    t = jnp.zeros((8,), jnp.int32)
+    params = model.init(jax.random.key(0), x, t)
+    params = shard_params(params, mesh)
+    xs = shard_batch(jax.random.normal(jax.random.key(1), x.shape), mesh)
+
+    @jax.jit
+    def fwd(p, xx, tt):
+        out, inter = model.apply(
+            p, xx, tt, capture_intermediates=lambda mdl, name: name == "tp_act"
+        )
+        return out, inter
+
+    out, inter = fwd(params, xs, t)
+    acts = [
+        leaf
+        for leaf in jax.tree_util.tree_leaves(inter)
+        if hasattr(leaf, "sharding")
+    ]
+    assert len(acts) >= 8, "expected sown tp activations at every wide stage"
+    want = P("dp", None, None, "tp")
+    n_tp = sum(1 for a in acts if a.sharding.spec == want)
+    assert n_tp == len(acts), [a.sharding.spec for a in acts]
+    assert out.shape == x.shape
+
+
+def test_unet_seq_parallel_matches_single_device(devices):
+    """VERDICT r1 item 8: the sequence-parallel UNet path (sp_mesh) produces
+    the single-device output to fp tolerance — linear attention's token
+    couplings are reduced exactly by the pmax/psum statistics."""
+    from physicsinformeddiffusionmodels_tpu.models.unet import UNet
+
+    mesh = make_mesh(dp=4, tp=2, devices=devices[:8])
+    kw = dict(dim=16, channels=2, resnet_groups=8, frame_attention=False)
+    model_sp = UNet(sp_mesh=mesh, **kw)
+    model_1d = UNet(**kw)
+    x = jax.random.normal(jax.random.key(2), (8, 16, 16, 2))
+    t = jnp.arange(8, dtype=jnp.int32)
+    params = model_1d.init(jax.random.key(0), x, t)
+
+    ref = model_1d.apply(params, x, t)
+    got = jax.jit(model_sp.apply)(params, shard_batch(x, mesh), t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_unet_seq_parallel_128px_train_step(devices):
+    """Smoke: one 128x128 train step on the 8-device mesh with
+    sequence-parallel attention — the >64^2 scaling path compiles and
+    executes end to end (loss + grads finite)."""
+    import optax
+
+    from physicsinformeddiffusionmodels_tpu.models.unet import UNet
+
+    mesh = make_mesh(dp=2, tp=4, devices=devices[:8])
+    model = UNet(dim=8, channels=2, resnet_groups=4, frame_attention=False,
+                 sp_mesh=mesh)
+    x = jax.random.normal(jax.random.key(3), (2, 128, 128, 2))
+    t = jnp.zeros((2,), jnp.int32)
+    params = model.init(jax.random.key(0), x, t)
+    params = shard_params(params, mesh)
+    xs = shard_batch(x, mesh)
+
+    @jax.jit
+    def step(p, xx, tt):
+        def loss(pp):
+            out = model.apply(pp, xx, tt)
+            return jnp.mean((out - xx) ** 2)
+
+        l, g = jax.value_and_grad(loss)(p)
+        return l, optax.global_norm(g)
+
+    l, gn = step(params, xs, t)
+    assert np.isfinite(float(l)) and np.isfinite(float(gn))

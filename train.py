@@ -49,8 +49,9 @@ from physicsinformeddiffusionmodels_tpu.training import (
 from physicsinformeddiffusionmodels_tpu.utils import viz
 
 
-def build_model(cfg: RunConfig) -> UNet:
+def build_model(cfg: RunConfig, mesh=None) -> UNet:
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    tp_on = mesh is not None and cfg.mesh_tp > 1
     return UNet(
         dim=cfg.unet_dim,
         channels=cfg.model_channels,
@@ -59,6 +60,8 @@ def build_model(cfg: RunConfig) -> UNet:
         padding_mode="circular" if cfg.bcs == "periodic" else "zeros",
         self_condition=cfg.self_condition,
         dtype=dtype,
+        tp_mesh=mesh if tp_on and cfg.tp_shard_activations else None,
+        sp_mesh=mesh if tp_on and cfg.seq_parallel_attn else None,
     )
 
 
@@ -172,6 +175,16 @@ def main(argv=None):
     ap.add_argument("--pixels-per-dim", type=int, default=None)
     ap.add_argument("--no-samples", type=int, default=None)
     ap.add_argument("--residual-grad-guidance", action="store_true")
+    ap.add_argument("--mesh-dp", type=int, default=None,
+                    help="data-parallel mesh size (default: all devices / tp)")
+    ap.add_argument("--mesh-tp", type=int, default=None,
+                    help="tensor-parallel mesh size (default 1)")
+    ap.add_argument("--tp-shard-activations", action="store_true",
+                    help="with --mesh-tp>1: constrain wide-stage UNet "
+                    "activations over 'tp' (real tensor parallelism)")
+    ap.add_argument("--seq-parallel-attn", action="store_true",
+                    help="with --mesh-tp>1: sequence-parallel linear "
+                    "attention over 'tp' (scales past 64^2 per chip)")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint of this run name")
     ap.add_argument("--model-yaml", default=None,
@@ -186,10 +199,15 @@ def main(argv=None):
         ("sample_freq", "sample_freq"), ("test_eval_freq", "test_eval_freq"),
         ("compute_dtype", "compute_dtype"), ("pixels_per_dim", "pixels_per_dim"),
         ("no_samples", "no_samples"),
+        ("mesh_dp", "mesh_dp"), ("mesh_tp", "mesh_tp"),
     ]:
         v = getattr(args, k_arg)
         if v is not None:
             kw[k_cfg] = v
+    if args.tp_shard_activations:
+        kw["tp_shard_activations"] = True
+    if args.seq_parallel_attn:
+        kw["seq_parallel_attn"] = True
     if args.residual_grad_guidance:
         kw["residual_grad_guidance"] = True
     if args.resume:
@@ -228,7 +246,8 @@ def run_darcy(cfg: RunConfig):
         domain_length=cfg.domain_length,
         periodic=cfg.bcs == "periodic",
     )
-    model = build_model(cfg)
+    mesh = make_mesh(cfg.mesh_dp, cfg.mesh_tp)
+    model = build_model(cfg, mesh)
 
     key = jax.random.key(cfg.seed)
     key, init_key = jax.random.split(key)
@@ -237,7 +256,6 @@ def run_darcy(cfg: RunConfig):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"Number of trainable parameters: {n_params}")
 
-    mesh = make_mesh(cfg.mesh_dp, cfg.mesh_tp)
     multi_device = mesh.devices.size > 1
     if multi_device:
         params = shard_params(params, mesh)

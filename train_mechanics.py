@@ -56,6 +56,19 @@ from physicsinformeddiffusionmodels_tpu.training import (
 from physicsinformeddiffusionmodels_tpu.utils import viz
 
 
+def build_mech_model(cfg: RunConfig, mesh=None) -> UNet:
+    tp_on = mesh is not None and cfg.mesh_tp > 1
+    return UNet(
+        dim=cfg.unet_dim,
+        channels=cfg.model_channels,
+        out_dim=cfg.output_channels,
+        sigmoid_last_channel=True,
+        dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None,
+        tp_mesh=mesh if tp_on and cfg.tp_shard_activations else None,
+        sp_mesh=mesh if tp_on and cfg.seq_parallel_attn else None,
+    )
+
+
 def model_input_from_state(noisy_solution, cond: MechanicsBatch, P: int):
     """Assemble the 10-channel 64x64 model input from a noisy 65x65 solution
     state (`residuals_mechanics_K.py:170-189`): resize(cat(noisy, cond)) ++
@@ -173,13 +186,8 @@ def run_mechanics(cfg: RunConfig):
 
     sched = create_schedule(cfg.diff_steps)
     mech = MechanicsResidual(pixels_per_dim=cfg.pixels_per_dim)
-    model = UNet(
-        dim=cfg.unet_dim,
-        channels=cfg.model_channels,
-        out_dim=cfg.output_channels,
-        sigmoid_last_channel=True,
-        dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None,
-    )
+    mesh = make_mesh(cfg.mesh_dp, cfg.mesh_tp)
+    model = build_mech_model(cfg, mesh)
 
     key = jax.random.key(cfg.seed)
     key, init_key = jax.random.split(key)
@@ -192,7 +200,6 @@ def run_mechanics(cfg: RunConfig):
         sum(x.size for x in jax.tree_util.tree_leaves(params)),
     )
 
-    mesh = make_mesh(cfg.mesh_dp, cfg.mesh_tp)
     multi_device = mesh.devices.size > 1
     if multi_device:
         params = shard_params(params, mesh)
@@ -304,6 +311,14 @@ if __name__ == "__main__":
     ap.add_argument("--no-samples", type=int, default=8)
     ap.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint of this run name")
+    ap.add_argument("--mesh-dp", type=int, default=None)
+    ap.add_argument("--mesh-tp", type=int, default=1)
+    ap.add_argument("--tp-shard-activations", action="store_true",
+                    help="with --mesh-tp>1: constrain wide-stage UNet "
+                    "activations over 'tp' (real tensor parallelism)")
+    ap.add_argument("--seq-parallel-attn", action="store_true",
+                    help="with --mesh-tp>1: sequence-parallel linear "
+                    "attention over 'tp'")
     a = ap.parse_args()
     cfg = RunConfig(
         gov_eqs="mechanics", name=a.name, train_iterations=a.iterations,
@@ -313,5 +328,8 @@ if __name__ == "__main__":
         sample_freq=a.sample_freq, test_eval_freq=a.test_eval_freq,
         no_samples=a.no_samples, c_ineq=1e-3, lambda_opt=1e-6,
         unet_dim=a.unet_dim, resume=a.resume,
+        mesh_dp=a.mesh_dp, mesh_tp=a.mesh_tp,
+        tp_shard_activations=a.tp_shard_activations,
+        seq_parallel_attn=a.seq_parallel_attn,
     )
     run_mechanics(cfg)
