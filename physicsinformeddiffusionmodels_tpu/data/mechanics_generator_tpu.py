@@ -170,20 +170,17 @@ class TpuSimpGenerator:
             cand, jnp.maximum(rho - move, 1e-3), jnp.minimum(rho + move, 1.0)
         )
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def optimize(self, scen: SimpScenario) -> tuple[jax.Array, jax.Array]:
-        """Run ``n_iter`` SIMP iterations for the whole batch.
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def _optimize_chunk(self, carry, length: int, scen: SimpScenario):
+        """``length`` SIMP iterations on a (rho, u) carry — one device call.
 
-        Returns (rho [B, nels], relres [B]) — final designs and the true
-        relative residual of the LAST device solve (a warm-start quality
-        signal; the emitted dataset's exactness comes from the host LU in
-        ``fields_from_design``, not from this).
-        """
+        Kept short on purpose: the tunneled backend enforces a per-execution
+        deadline (one monolithic 50-iteration scan dies with UNAVAILABLE
+        mid-run; 25 iterations complete), so ``optimize`` drives this in
+        host-chunked calls instead of one long scan."""
         B = scen.f.shape[0]
         P = self.P
         penal = self.penal
-        rho0 = jnp.broadcast_to(scen.vf[:, None], (B, P * P)).astype(jnp.float32)
-        u0 = jnp.zeros((B, self.mech.neq), jnp.float32)
 
         def body(carry, _):
             rho, u = carry
@@ -200,16 +197,42 @@ class TpuSimpGenerator:
             rho = self._oc_update(rho, dc_f, scen.vf)
             return (rho, u), None
 
-        (rho, u), _ = jax.lax.scan(body, (rho0, u0), None, length=self.n_iter)
-        # converged-design residual of the last solve
-        e_field = E_MIN + rho**penal * (1.0 - E_MIN)
+        return jax.lax.scan(body, carry, None, length=length)[0]
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _final_residual(self, carry, scen: SimpScenario):
+        """Relative residual of one more (warm-started) solve on the final
+        design — the warm-start quality signal returned by ``optimize``."""
+        rho, u = carry
+        e_field = E_MIN + rho**self.penal * (1.0 - E_MIN)
         f = jnp.where(scen.mask, 0.0, scen.f)
         ku = self.mech._Ku(e_field, self._solve_pcg(e_field, scen, u))
         r = jnp.where(scen.mask, 0.0, ku) - f
-        relres = jnp.linalg.norm(r, axis=1) / jnp.maximum(
+        return jnp.linalg.norm(r, axis=1) / jnp.maximum(
             jnp.linalg.norm(f, axis=1), 1e-30
         )
-        return rho, relres
+
+    def optimize(
+        self, scen: SimpScenario, chunk_iters: int = 10
+    ) -> tuple[jax.Array, jax.Array]:
+        """Run ``n_iter`` SIMP iterations for the whole batch, in
+        ``chunk_iters``-sized device calls (see ``_optimize_chunk``).
+
+        Returns (rho [B, nels], relres [B]) — final designs and the true
+        relative residual of the LAST device solve (a warm-start quality
+        signal; the emitted dataset's exactness comes from the host LU in
+        ``fields_from_design``, not from this)."""
+        B = scen.f.shape[0]
+        rho0 = jnp.broadcast_to(
+            scen.vf[:, None], (B, self.P * self.P)
+        ).astype(jnp.float32)
+        carry = (rho0, jnp.zeros((B, self.mech.neq), jnp.float32))
+        left = self.n_iter
+        while left > 0:
+            n = min(chunk_iters, left)
+            carry = jax.block_until_ready(self._optimize_chunk(carry, n, scen))
+            left -= n
+        return carry[0], self._final_residual(carry, scen)
 
 
 def generate_dataset_tpu(

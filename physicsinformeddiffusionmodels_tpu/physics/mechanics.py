@@ -156,19 +156,52 @@ class MechanicsResidual:
         f = jnp.where(mask, 0.0, f)
         return f, mask
 
+    # local-node grid offsets of the quad4 element (i, j):
+    # n1=(i,j), n2=(i,j+1), n3=(i+1,j+1), n4=(i+1,j)  (grid_topology order)
+    _NODE_OFFSETS = ((0, 0), (0, 1), (1, 1), (1, 0))
+
     def _Ku(self, rho_e: jax.Array, u: jax.Array) -> jax.Array:
-        """(K(rho) u) without BC masking, matrix-free.
+        """(K(rho) u) without BC masking, matrix-free, STENCIL-FORM.
 
         rho_e: [B, nels] element densities; u: [B, neq].
+
+        On the structured grid every element couples the 4 corner nodes with
+        fixed [2,2] blocks of ``k_loc``, so K u is 16 statically-shifted
+        slice multiply-adds on the [B, nn, nn, 2] nodal image — pure VPU
+        work. The gather/scatter-add formulation (``_Ku_scatter``) costs
+        ~19 ms per call at batch 64 on v5e (scatter-bound); this form is
+        the same sum re-associated per corner (fp32 throughout) and runs
+        at HBM-bandwidth speed. Semantics match the reference's dense
+        assembly (`residuals_mechanics_K.py:208-240`).
         """
         # FEM algebra in fp32 regardless of the model's compute dtype
         u = u.astype(jnp.float32)
         rho_e = rho_e.astype(jnp.float32)
+        B = u.shape[0]
+        P, nn = self.pixels_per_dim, self.nn
+        u_img = u.reshape(B, nn, nn, 2)
+        rho_img = rho_e.reshape(B, P, P)
+        out = jnp.zeros((B, nn, nn, 2), jnp.float32)
+        for a, (ai, aj) in enumerate(self._NODE_OFFSETS):
+            acc = jnp.zeros((B, P, P, 2), jnp.float32)
+            for b, (bi, bj) in enumerate(self._NODE_OFFSETS):
+                kab = self.k_loc[2 * a : 2 * a + 2, 2 * b : 2 * b + 2]
+                u_b = u_img[:, bi : bi + P, bj : bj + P, :]
+                # broadcast-multiply + sum, not einsum: TPU f32 einsum
+                # defaults to bf16 multiplies, whose noise inside CG can
+                # drive p^T A p <= 0 -> NaN (observed on v5e)
+                acc = acc + (u_b[..., None, :] * kab).sum(-1)
+            out = out.at[:, ai : ai + P, aj : aj + P, :].add(
+                acc * rho_img[..., None]
+            )
+        return out.reshape(B, self.neq)
+
+    def _Ku_scatter(self, rho_e: jax.Array, u: jax.Array) -> jax.Array:
+        """Gather/scatter-add reference form of ``_Ku`` (kept for parity
+        tests; the stencil form above is the hot path)."""
+        u = u.astype(jnp.float32)
+        rho_e = rho_e.astype(jnp.float32)
         u_e = u[:, self.elem_dofs]  # [B, nels, 8]
-        # broadcast-multiply + sum instead of einsum: a [8,8] contraction is
-        # VPU work, and the MXU einsum route costs exactness — TPU f32
-        # einsum defaults to bf16 multiplies, whose noise inside CG can
-        # drive p^T A p <= 0 -> NaN (observed on v5e)
         ku_e = (u_e[:, :, None, :] * self.k_loc[None, None]).sum(-1)
         ku_e = ku_e * rho_e[..., None]
         B = u.shape[0]
@@ -246,16 +279,19 @@ class MechanicsResidual:
     # ------------------------------------------------------------ topopt eval
 
     def _jacobi_diag(self, rho_e: jax.Array, mask: jax.Array) -> jax.Array:
-        """diag(K_bc(rho)) assembled matrix-free (for CG preconditioning)."""
+        """diag(K_bc(rho)) assembled matrix-free (for CG preconditioning) —
+        stencil-form like ``_Ku`` (4 shifted slice-adds, no scatter)."""
         rho_e = rho_e.astype(jnp.float32)
-        contrib = rho_e[:, :, None] * jnp.diag(self.k_loc)[None, None, :]
         B = rho_e.shape[0]
-        flat_idx = jnp.broadcast_to(
-            self.elem_dofs.reshape(1, -1), (B, self.nels * 8)
-        )
-        d = jnp.zeros((B, self.neq), jnp.float32)
-        d = d.at[jnp.arange(B)[:, None], flat_idx].add(contrib.reshape(B, -1))
-        return jnp.where(mask, 1.0, d)
+        P, nn = self.pixels_per_dim, self.nn
+        rho_img = rho_e.reshape(B, P, P)
+        diag_k = jnp.diag(self.k_loc)  # [8]
+        d_img = jnp.zeros((B, nn, nn, 2), jnp.float32)
+        for a, (ai, aj) in enumerate(self._NODE_OFFSETS):
+            d_img = d_img.at[:, ai : ai + P, aj : aj + P, :].add(
+                rho_img[..., None] * diag_k[2 * a : 2 * a + 2]
+            )
+        return jnp.where(mask, 1.0, d_img.reshape(B, self.neq))
 
     def solve(
         self,

@@ -1,0 +1,100 @@
+"""Generate the FULL mechanics dataset family in one process: train +
+valid + test_level_1 (in-distribution) + test_level_2 (out-of-distribution),
+reusing ONE compiled TPU SIMP chunk across all sets (a fresh
+``TpuSimpGenerator`` per set would recompile ~2 min each on the tunneled
+backend).
+
+Reference layout (`sample.py:244-342`, SURVEY §2.1):
+  data/mechanics/train/fields/<i>.npy
+  data/mechanics/test/valid/fields/<i>.npy
+  data/mechanics/test/test_level_1/fields/<i>.npy   in-distribution scenarios
+  data/mechanics/test/test_level_2/fields/<i>.npy   OOD scenario families
+
+The reference ships pre-generated data; this subsystem is net-new (the
+framework is self-contained at training-set scale).
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from physicsinformeddiffusionmodels_tpu.data.mechanics_generator import (
+    SCENARIO_FAMILIES,
+    MechanicsFEM,
+    fields_from_design,
+)
+from physicsinformeddiffusionmodels_tpu.data.mechanics_generator_tpu import (
+    TpuSimpGenerator,
+)
+
+
+def generate_set(
+    fem, gen, out_dir, n_samples, batch, families, vf_range, rng, penal=3.0
+):
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    idx, done = 0, 0
+    t0 = time.time()
+    while done < n_samples:
+        nb = min(batch, n_samples - done)
+        fixed = np.zeros((batch, fem.neq), bool)
+        f = np.zeros((batch, fem.neq))
+        vf = np.zeros(batch)
+        for b in range(batch):
+            fam = families[(done + b) % len(families)]
+            fixed[b], f[b] = SCENARIO_FAMILIES[fam](fem, rng)
+            vf[b] = rng.uniform(*vf_range)
+        scen = gen.scenarios_from_host(fixed, f, vf)
+        rho, relres = gen.optimize(scen)
+        rho = np.asarray(rho, np.float64)
+        print(
+            f"  [{out.parent.name}/{out.name}] batch {done}-{done + nb}: "
+            f"device SIMP done, relres max {float(np.asarray(relres).max()):.2e}",
+            flush=True,
+        )
+        for b in range(nb):
+            s = fields_from_design(fem, rho[b], fixed[b], f[b], penal=penal)
+            np.save(out / f"{idx}.npy", s)
+            idx += 1
+        done += nb
+    print(f"  -> {n_samples} samples in {time.time() - t0:.1f}s", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="./data/mechanics")
+    ap.add_argument("--n-train", type=int, default=3072)
+    ap.add_argument("--n-valid", type=int, default=64)
+    ap.add_argument("--n-test", type=int, default=128, help="per test level")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--n-iter", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    fem = MechanicsFEM(64)
+    gen = TpuSimpGenerator(64, n_iter=args.n_iter)
+    rng = np.random.default_rng(args.seed)
+    root = Path(args.root)
+    in_dist = ("cantilever",)
+    ood = ("cantilever_multiload", "bridge", "double_clamp")
+
+    t0 = time.time()
+    generate_set(fem, gen, root / "train" / "fields", args.n_train,
+                 args.batch, in_dist, (0.3, 0.6), rng)
+    generate_set(fem, gen, root / "test" / "valid" / "fields", args.n_valid,
+                 args.batch, in_dist, (0.3, 0.6), rng)
+    generate_set(fem, gen, root / "test" / "test_level_1" / "fields",
+                 args.n_test, args.batch, in_dist, (0.3, 0.6), rng)
+    # OOD: unseen BC/load families AND a volume-fraction range shift
+    generate_set(fem, gen, root / "test" / "test_level_2" / "fields",
+                 args.n_test, args.batch, ood, (0.25, 0.7), rng)
+    print(f"All sets done in {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

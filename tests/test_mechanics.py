@@ -248,3 +248,24 @@ def test_topopt_eval_checked_escalates(mech, dataset):
         topopt["rel_CE_error_full_batch"],
         atol=1e-3,
     )
+
+
+def test_stencil_Ku_matches_scatter(mech, dataset):
+    """The stencil-form K u (hot path) equals the gather/scatter-add form
+    and the Jacobi diagonal matches the dense assembly's diagonal."""
+    rng = np.random.default_rng(11)
+    B = 3
+    rho = jnp.asarray(rng.uniform(1e-3, 1.0, (B, mech.nels)), jnp.float32)
+    u = jnp.asarray(rng.normal(size=(B, mech.neq)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(mech._Ku(rho, u)),
+        np.asarray(mech._Ku_scatter(rho, u)),
+        atol=1e-4,
+    )
+    mask = jnp.zeros((B, mech.neq), bool)
+    K = mech.assemble_dense(rho, mask)
+    np.testing.assert_allclose(
+        np.asarray(mech._jacobi_diag(rho, mask)),
+        np.asarray(jnp.diagonal(K, axis1=1, axis2=2)),
+        rtol=1e-5,
+    )
