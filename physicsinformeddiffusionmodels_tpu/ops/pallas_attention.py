@@ -491,13 +491,15 @@ def _lab_fwd_kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, bout_ref, o_ref,
 
 def _lab_bwd_kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, dy_ref,
                     dx_ref, dgamma_ref, dwqkv_ref, dwout_ref, dbout_ref,
-                    xln_ref, p_ref, dxln_ref,
+                    xln_ref, p_ref, dxln_ref, kt_ref, vt_ref,
                     *, heads: int, dh: int, n: int, c: int, tile: int,
                     eps: float):
     """Analytic VJP of the fused block. dy: [1, C, N] channel-major.
 
-    Weight/param cotangents are accumulated across the sequential grid
-    (initialized at row 0)."""
+    Phase A stashes the k/v projections (f32 scratch) so Phase C reuses
+    them instead of re-projecting — two fewer [H,C]x[C,T] matmuls per
+    tile. Weight/param cotangents are accumulated across the sequential
+    grid (initialized at row 0)."""
     H = heads * dh
     b_idx = pl.program_id(0)
     md = x_ref.dtype
@@ -517,6 +519,8 @@ def _lab_bwd_kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, dy_ref,
         qT = qkv[:H].reshape(heads, dh, tile)
         kT = qkv[H:2 * H].reshape(heads, dh, tile)
         vT = qkv[2 * H:].reshape(heads, dh, tile)
+        kt_ref[:, sl] = kT.reshape(H, tile)
+        vt_ref[:, sl] = vT.reshape(H, tile)
         qmx = jnp.max(qT, axis=1, keepdims=True)
         eq = jnp.exp(qT - qmx)
         P = eq / jnp.sum(eq, axis=1, keepdims=True)
@@ -578,8 +582,8 @@ def _lab_bwd_kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, dy_ref,
         dwk, dwv = carry
         sl = pl.ds(i * tile, tile)
         xln = xln_ref[:, sl]
-        kT = _mm(w[H:2 * H], xln, md).reshape(heads, dh, tile)
-        vT = _mm(w[2 * H:], xln, md).reshape(heads, dh, tile)
+        kT = kt_ref[:, sl].reshape(heads, dh, tile)
+        vT = vt_ref[:, sl].reshape(heads, dh, tile)
         Kp = jnp.exp(kT - m) / z                      # softmax [h, d, T]
         vn = vT / float(n)
         dKp = _dg(dctx, vn.astype(md), (((2,), (1,)), ((0,), (0,))), md)
@@ -705,6 +709,8 @@ def _lab_bwd_call(xt, gammaT, w_qkvT, w_outT, dyt, heads, dh, eps, interpret):
             pltpu.VMEM((c, n), xt.dtype),
             pltpu.VMEM((H, n), xt.dtype),
             pltpu.VMEM((c, n), jnp.float32),
+            pltpu.VMEM((H, n), jnp.float32),
+            pltpu.VMEM((H, n), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
