@@ -45,9 +45,20 @@ def kle_eigenpairs(
     ``exp(-||x_i - x_j|| / l)`` on the boundary-inclusive grid
     (`darcy_data_generation.py:41-61`).
 
+    The dense eigh at P=64 costs ~2 min on one host core, so results are
+    memoized to ``data/.cache/`` (worker processes would otherwise each
+    pay it again).
+
     Returns (eigvals [q], eigvecs [P*P, q]) in descending eigenvalue order.
     """
     P = pixels_per_dim
+    cache = (
+        Path(__file__).resolve().parents[2]
+        / "data" / ".cache" / f"kle_P{P}_q{q}_l{corr_length:g}.npz"
+    )
+    if cache.exists():
+        with np.load(cache) as z:
+            return z["eigvals"], z["eigvecs"]
     x = np.linspace(0.0, 1.0, P)
     X, Y = np.meshgrid(x, x, indexing="ij")
     pts = np.stack([X.ravel(), Y.ravel()], axis=1)  # [P*P, 2]
@@ -56,7 +67,13 @@ def kle_eigenpairs(
     n = C.shape[0]
     eigvals, eigvecs = scipy.linalg.eigh(C, subset_by_index=[n - q, n - 1])
     # eigh returns ascending; flip to descending like the reference's sort
-    return eigvals[::-1].copy(), eigvecs[:, ::-1].copy()
+    eigvals, eigvecs = eigvals[::-1].copy(), eigvecs[:, ::-1].copy()
+    try:
+        cache.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(cache, eigvals=eigvals, eigvecs=eigvecs)
+    except OSError:
+        pass
+    return eigvals, eigvecs
 
 
 def sample_log_k(
@@ -157,16 +174,31 @@ def solve_darcy(
 ) -> tuple[np.ndarray, float]:
     """Least-squares pressure solve; returns (p [P*P], mean |A p - b|)
     (`darcy_data_generation.py:161-163` solves the same overdetermined
-    system with dense scipy lstsq, ~40 s/sample at P=64; here the sparse
-    normal equations A^T A p = A^T b are factored with sparse LU in well
-    under a second — A has ~9 nonzeros/row, so A^T A is a banded
-    ~2*acc*P-bandwidth matrix; kappa(A)^2 is benign in float64 at these
-    sizes, and the dense QR fallback guards pathological fields)."""
+    system with dense scipy lstsq, ~40 s/sample at P=64).
+
+    The trapezoid gauge row is DENSE, so forming normal equations with it
+    densifies A^T A (rank-1 update w w^T) and sparse LU degenerates to a
+    ~10 s dense factorization. Instead the gauge is decoupled: the
+    PDE+BC block A0 annihilates constants exactly (every FD stencil row
+    sums to 0), so ||A0 p - b0||^2 is invariant along 1 and the full LS
+    minimizer is obtained by (1) solving the BANDED normal equations of
+    A0 with a one-node pin selecting a representative, then (2) shifting
+    p by a multiple of 1 to zero the trapezoid integral — identical
+    minimizer, ~100x faster (~0.5 s/sample). Dense lstsq guards
+    pathological fields."""
     A, b = _build_sparse_system(K_flat, pixels_per_dim, fd_acc, reverse_d1)
-    AtA = (A.T @ A).tocsc()
-    Atb = A.T @ b
+    n = pixels_per_dim * pixels_per_dim
+    A0, b0 = A[:-1], b[:-1]
+    w = np.asarray(A[-1].todense()).ravel()  # trapezoid gauge weights
     try:
-        p = scipy.sparse.linalg.splu(AtA).solve(Atb)
+        S = (A0.T @ A0).tocsc()
+        # pin node 0 at the problem's own scale: selects the y_0 = 0
+        # representative of the constant-shift equivalence class without
+        # perturbing the range component (removed by the shift below)
+        pinw = float(S.diagonal().mean())
+        pin = scipy.sparse.csc_matrix(([pinw], ([0], [0])), shape=S.shape)
+        y = scipy.sparse.linalg.splu(S + pin).solve(A0.T @ b0)
+        p = y - (w @ y) / (w @ np.ones(n)) * np.ones(n)
         if not np.isfinite(p).all():
             raise RuntimeError("non-finite normal-equation solution")
     except Exception:
