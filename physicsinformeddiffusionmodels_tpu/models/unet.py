@@ -647,7 +647,7 @@ class UNet(nn.Module):
                     mask = jax.random.uniform(rng, (B,)) < null_cond_prob
                     cond_in = jnp.where(mask[:, None, None, None], 0.0, cond_in)
             emb = nn.Conv(init_dim, (1, 1), dtype=self.dtype, name="emb_conv_0")(cond_in)
-            emb = nn.gelu(emb)
+            emb = nn.gelu(emb, approximate=False)
             emb = Conv2dPadded(init_dim, 3, 1, 1, "zeros", self.dtype, name="emb_conv_1")(emb)
             combined = nn.Conv(init_dim, (1, 1), dtype=self.dtype, name="combine_conv")(
                 jnp.concatenate([x, emb], axis=-1)
@@ -659,7 +659,7 @@ class UNet(nn.Module):
         time_dim = self.dim * 4
         t = SinusoidalPosEmb(self.dim, name="time_pos_emb")(time)
         t = nn.Dense(time_dim, dtype=self.dtype, name="time_mlp_0")(t)
-        t = nn.gelu(t)
+        t = nn.gelu(t, approximate=False)
         t = nn.Dense(time_dim, dtype=self.dtype, name="time_mlp_1")(t)
 
         dims = [init_dim] + [self.dim * m for m in self.dim_mults]

@@ -1,0 +1,118 @@
+"""Reference-execution parity: the torch ``Unet3D`` forward vs the JAX
+``UNet`` with TRANSPLANTED weights (models.reference_port).
+
+Runs the reference's actual `unet_model.py` on torch-cpu (via
+tests/reference_shims) with a seeded init, imports its state dict into the
+Flax model, and asserts the two denoiser forwards agree to fp32 tolerance
+on identical inputs — the strongest form of architecture parity
+(`unet_model.py:406-622`).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+torch = pytest.importorskip("torch")
+
+_SHIMS = Path(__file__).parent / "reference_shims"
+_REF = Path("/root/reference")
+
+
+@pytest.fixture(scope="module")
+def ref_unet_module():
+    if not _REF.exists():
+        pytest.skip("reference tree not available")
+    sys.path.insert(0, str(_SHIMS))
+    sys.path.insert(0, str(_REF))
+    try:
+        from src import unet_model
+    finally:
+        sys.path.remove(str(_SHIMS))
+        sys.path.remove(str(_REF))
+    return unet_model
+
+
+def _build_pair(ref_unet_module, *, dim, channels, out_dim, sigmoid_last=False):
+    from physicsinformeddiffusionmodels_tpu.models.reference_port import (
+        import_reference_state_dict,
+        reference_key_map,
+    )
+    from physicsinformeddiffusionmodels_tpu.models.unet import UNet
+
+    torch.manual_seed(1234)
+    tm = ref_unet_module.Unet3D(
+        dim=dim, channels=channels, out_dim=out_dim,
+        sigmoid_last_channel=sigmoid_last,
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    jm = UNet(
+        dim=dim, channels=channels, out_dim=out_dim,
+        frame_attention=False, sigmoid_last_channel=sigmoid_last,
+        dtype=jnp.float32,
+    )
+    template = jm.init(
+        jax.random.key(0),
+        jnp.zeros((1, 64, 64, channels), jnp.float32),
+        jnp.zeros((1,), jnp.int32),
+    )
+    key_map = reference_key_map(dim=dim)
+    params, unused = import_reference_state_dict(sd, template, key_map)
+    # everything left over must be the reference's dead modules
+    allowed = (
+        "time_rel_pos_bias", "sign_emb_CNN", "init_temporal_attn",
+        "mid_temporal_attn", "rotary", ".to_q.", ".to_k.", ".to_v.",
+    )
+    leftovers = [k for k in unused if not any(a in k for a in allowed)]
+    assert leftovers == [], f"unexpectedly unmapped reference params: {leftovers}"
+    return tm, jm, params
+
+
+class TestUNetForwardParity:
+    def test_darcy_uncond_forward(self, ref_unet_module):
+        tm, jm, params = _build_pair(
+            ref_unet_module, dim=32, channels=2, out_dim=2)
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 64, 64, 2)).astype(np.float32)
+        t = np.array([7, 53], np.int64)
+
+        with torch.no_grad():
+            # reference image layout: [B, C, H, W] (`unet_model.py:555-558`)
+            y_t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                     torch.from_numpy(t)).numpy().transpose(0, 2, 3, 1)
+
+        y_j = np.asarray(jm.apply(params, jnp.asarray(x), jnp.asarray(t)))
+
+        scale = np.abs(y_t).max()
+        assert scale > 1e-3  # non-degenerate output
+        np.testing.assert_allclose(y_j, y_t, atol=5e-4 * scale, rtol=0)
+
+    def test_darcy_cond_forward(self, ref_unet_module):
+        """Gradient-conditioning path: emb_conv/combine_conv live
+        (`unet_model.py:571-587`)."""
+        tm, jm, params = _build_pair(
+            ref_unet_module, dim=32, channels=2, out_dim=2)
+
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((2, 64, 64, 2)).astype(np.float32)
+        cond = rng.standard_normal((2, 64, 64, 2)).astype(np.float32)
+        t = np.array([11, 90], np.int64)
+
+        with torch.no_grad():
+            # reference cond layout: [B, P*P, C] (`unet_model.py:576-583`)
+            cond_t = torch.from_numpy(cond.reshape(2, -1, 2))
+            y_t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                     torch.from_numpy(t), cond=cond_t,
+                     null_cond_prob=0.0).numpy().transpose(0, 2, 3, 1)
+
+        y_j = np.asarray(jm.apply(
+            params, jnp.asarray(x), jnp.asarray(t), cond=jnp.asarray(cond)))
+
+        scale = np.abs(y_t).max()
+        np.testing.assert_allclose(y_j, y_t, atol=5e-4 * scale, rtol=0)
