@@ -103,10 +103,11 @@ def eval_darcy(cfg: RunConfig, raw, out_dir: Path, no_samples: int, create_gif: 
 def eval_mechanics(cfg: RunConfig, raw, out_dir: Path, no_samples: int, test_batches: int, seed: int, test_data_root: str | None = None, create_gif: bool = False):
     import train_mechanics as tm
 
-    model = tm.UNet(
-        dim=cfg.unet_dim, channels=cfg.model_channels, out_dim=cfg.output_channels,
-        sigmoid_last_channel=True,
-    )
+    # build exactly like the train driver (in particular compute_dtype:
+    # evaluating in f32 both diverges from the trained regime and trips a
+    # backend Mosaic b32-transpose compiler bug in the fused attention
+    # kernel at multi-tile N on the axon v5e toolchain)
+    model = tm.build_mech_model(cfg)
     P = cfg.pixels_per_dim
     template = model.init(
         jax.random.key(0), jnp.zeros((1, P, P, cfg.model_channels)), jnp.zeros((1,), jnp.int32)
