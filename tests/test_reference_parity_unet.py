@@ -37,7 +37,8 @@ def ref_unet_module():
     return unet_model
 
 
-def _build_pair(ref_unet_module, *, dim, channels, out_dim, sigmoid_last=False):
+def _build_pair(ref_unet_module, *, dim, channels, out_dim, sigmoid_last=False,
+                pixels=64):
     from physicsinformeddiffusionmodels_tpu.models.reference_port import (
         import_reference_state_dict,
         reference_key_map,
@@ -58,7 +59,7 @@ def _build_pair(ref_unet_module, *, dim, channels, out_dim, sigmoid_last=False):
     )
     template = jm.init(
         jax.random.key(0),
-        jnp.zeros((1, 64, 64, channels), jnp.float32),
+        jnp.zeros((1, pixels, pixels, channels), jnp.float32),
         jnp.zeros((1,), jnp.int32),
     )
     key_map = reference_key_map(dim=dim)
@@ -114,5 +115,28 @@ class TestUNetForwardParity:
         y_j = np.asarray(jm.apply(
             params, jnp.asarray(x), jnp.asarray(t), cond=jnp.asarray(cond)))
 
+        scale = np.abs(y_t).max()
+        np.testing.assert_allclose(y_j, y_t, atol=5e-4 * scale, rtol=0)
+
+    def test_mechanics_shaped_forward(self, ref_unet_module):
+        """Mechanics-architecture config: multi-channel conditional input,
+        distinct out_dim, sigmoid on the last output channel
+        (`unet_model.py:528,621-622`; widths scaled down for CPU speed —
+        the mapping is width-agnostic)."""
+        tm, jm, params = _build_pair(
+            ref_unet_module, dim=16, channels=10, out_dim=3,
+            sigmoid_last=True, pixels=32)
+
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((2, 32, 32, 10)).astype(np.float32)
+        t = np.array([0, 42], np.int64)
+
+        with torch.no_grad():
+            y_t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                     torch.from_numpy(t)).numpy().transpose(0, 2, 3, 1)
+
+        y_j = np.asarray(jm.apply(params, jnp.asarray(x), jnp.asarray(t)))
+
+        assert 0.0 <= y_j[..., -1].min() and y_j[..., -1].max() <= 1.0
         scale = np.abs(y_t).max()
         np.testing.assert_allclose(y_j, y_t, atol=5e-4 * scale, rtol=0)
