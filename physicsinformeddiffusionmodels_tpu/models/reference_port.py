@@ -238,3 +238,19 @@ def import_reference_state_dict(state_dict, template, key_map) -> tuple[dict, li
     params = jtu.tree_map_with_path(fill, template)
     unused = sorted(k for k in state_dict if k not in used)
     return params, unused
+
+
+def state_dict_from_torch_file(path) -> dict:
+    """Load a reference ``checkpoint_<step>.pt`` into a numpy state dict.
+
+    The reference wraps the state dict as ``{'model': state_dict}``
+    (`denoising_utils.py:273-287`); bare state dicts are accepted too.
+    Requires torch (CPU is enough); tensors are converted to numpy so the
+    rest of the import has no torch dependency.
+    """
+    import torch
+
+    with open(path, "rb") as f:
+        obj = torch.load(f, map_location="cpu", weights_only=True)
+    sd = obj.get("model", obj) if isinstance(obj, dict) else obj
+    return {k: v.numpy() for k, v in sd.items()}

@@ -140,3 +140,39 @@ class TestUNetForwardParity:
         assert 0.0 <= y_j[..., -1].min() and y_j[..., -1].max() <= 1.0
         scale = np.abs(y_t).max()
         np.testing.assert_allclose(y_j, y_t, atol=5e-4 * scale, rtol=0)
+
+
+def test_checkpoint_file_roundtrip(ref_unet_module, tmp_path):
+    """A reference checkpoint_<step>.pt file (torch.save of {'model': sd},
+    `denoising_utils.py:281-287`) loads through state_dict_from_torch_file
+    and produces the identical imported tree as the in-memory state dict."""
+    from physicsinformeddiffusionmodels_tpu.models.reference_port import (
+        import_reference_state_dict,
+        reference_key_map,
+        state_dict_from_torch_file,
+    )
+    from physicsinformeddiffusionmodels_tpu.models.unet import UNet
+
+    torch.manual_seed(7)
+    tm = ref_unet_module.Unet3D(dim=16, channels=2, out_dim=2)
+    path = tmp_path / "checkpoint_100.pt"
+    with open(path, "wb") as f:
+        torch.save({"model": tm.state_dict()}, f)
+
+    jm = UNet(dim=16, channels=2, out_dim=2, frame_attention=False)
+    template = jm.init(
+        jax.random.key(0),
+        jnp.zeros((1, 32, 32, 2), jnp.float32),
+        jnp.zeros((1,), jnp.int32),
+    )
+    key_map = reference_key_map(dim=16)
+
+    sd_file = state_dict_from_torch_file(path)
+    sd_mem = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    p_file, _ = import_reference_state_dict(sd_file, template, key_map)
+    p_mem, _ = import_reference_state_dict(sd_mem, template, key_map)
+
+    import jax.tree_util as jtu
+
+    for a, b in zip(jtu.tree_leaves(p_file), jtu.tree_leaves(p_mem)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
