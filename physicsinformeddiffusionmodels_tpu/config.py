@@ -62,6 +62,10 @@ class RunConfig:
 
     # --- model dims (main.py:122-128) ---
     unet_dim: Optional[int] = None  # darcy 32, mechanics 128
+    # frame-attention path (net-new live layer; the reference constructs
+    # temporal attention but never invokes it — imported reference
+    # checkpoints set this False, scripts/import_reference_checkpoint.py)
+    frame_attention: bool = True
     # --- data paths ---
     data_dir: str = "./data/darcy/train"
     valid_data_dir: str = "./data/darcy/valid"

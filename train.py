@@ -59,6 +59,7 @@ def build_model(cfg: RunConfig, mesh=None) -> UNet:
         sigmoid_last_channel=cfg.sigmoid_last_channel,
         padding_mode="circular" if cfg.bcs == "periodic" else "zeros",
         self_condition=cfg.self_condition,
+        frame_attention=cfg.frame_attention,
         dtype=dtype,
         tp_mesh=mesh if tp_on and cfg.tp_shard_activations else None,
         sp_mesh=mesh if tp_on and cfg.seq_parallel_attn else None,

@@ -63,6 +63,7 @@ def build_mech_model(cfg: RunConfig, mesh=None) -> UNet:
         channels=cfg.model_channels,
         out_dim=cfg.output_channels,
         sigmoid_last_channel=True,
+        frame_attention=cfg.frame_attention,
         dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None,
         tp_mesh=mesh if tp_on and cfg.tp_shard_activations else None,
         sp_mesh=mesh if tp_on and cfg.seq_parallel_attn else None,
