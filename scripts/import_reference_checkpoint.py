@@ -45,7 +45,7 @@ from physicsinformeddiffusionmodels_tpu.models.unet import UNet
 from physicsinformeddiffusionmodels_tpu.training import save_checkpoint
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoint", required=True,
                     help="reference checkpoint_<step>.pt")
@@ -54,7 +54,7 @@ def main():
     ap.add_argument("--gov-eqs", default=None, choices=["darcy", "mechanics"],
                     help="study (defaults to the yaml's gov_eqs, else darcy)")
     ap.add_argument("--out", required=True, help="output run directory")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     overrides = {"frame_attention": False}
     if args.gov_eqs:

@@ -176,3 +176,55 @@ def test_checkpoint_file_roundtrip(ref_unet_module, tmp_path):
 
     for a, b in zip(jtu.tree_leaves(p_file), jtu.tree_leaves(p_mem)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_import_cli_roundtrip(ref_unet_module, tmp_path):
+    """scripts/import_reference_checkpoint.py converts a reference run dir
+    (checkpoint_<step>.pt + model.yaml) into a native run that
+    load_checkpoint restores — the migration workflow end-to-end."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "import_reference_checkpoint",
+        Path(__file__).parent.parent / "scripts" / "import_reference_checkpoint.py",
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    torch.manual_seed(9)
+    tm = ref_unet_module.Unet3D(dim=32, channels=2, out_dim=2)
+    ref_dir = tmp_path / "ref_run" / "model"
+    ref_dir.mkdir(parents=True)
+    with open(ref_dir / "checkpoint_12345.pt", "wb") as f:
+        torch.save({"model": tm.state_dict()}, f)
+    (ref_dir / "model.yaml").write_text(
+        "c_data: 1.0\nc_residual: 0.001\nc_ineq: 0.0\nlambda_opt: 0.0\n"
+        "diff_steps: 100\nx0_estimation: mean\nddim_steps: 10\n"
+        "residual_grad_guidance: false\ncorrection_mode: None\n"
+        "M_correction: 0\nN_correction: 0\ngov_eqs: darcy\nfd_acc: 2\n"
+    )
+
+    out = tmp_path / "imported"
+    cli.main([
+        "--checkpoint", str(ref_dir / "checkpoint_12345.pt"),
+        "--model-yaml", str(ref_dir / "model.yaml"),
+        "--out", str(out),
+    ])
+
+    from physicsinformeddiffusionmodels_tpu.config import RunConfig
+    from physicsinformeddiffusionmodels_tpu.training import (
+        latest_checkpoint,
+        load_checkpoint,
+    )
+
+    cfg = RunConfig.load(out / "config.json")
+    assert cfg.gov_eqs == "darcy" and cfg.frame_attention is False
+    ckpt = latest_checkpoint(out / "model")
+    assert ckpt is not None and "12345" in ckpt.name
+    raw = load_checkpoint(ckpt)
+    assert raw["step"] == 12345
+    assert raw["ema_params"]  # EMA slot filled (reference saves EMA weights)
+    got = np.asarray(
+        raw["params"]["params"]["final_conv"]["bias"], dtype=np.float32)
+    np.testing.assert_allclose(
+        got, tm.final_conv[1].bias.detach().numpy(), rtol=0, atol=0)
