@@ -150,13 +150,14 @@ def _fwd_kernel(xt_ref, wqkv_ref, wout_ref, o_ref,
 
 
 def _bwd_kernel(xt_ref, wqkv_ref, wout_ref, dyt_ref,
-                dxt_ref, dwqkv_ref, dwout_ref,
+                dxt_ref, dwqkv_ref, dwout_ref, kt_ref, vt_ref,
                 *, heads: int, dh: int, n: int, c: int, tile: int):
     """Analytic VJP. dyt: [1, C, N] cotangent of the kernel output.
 
-    dW outputs are [3H, C] / [C, H] accumulators revisited by every grid
-    step (TPU grids run sequentially): initialized at b == 0, accumulated
-    after.
+    Phase A stashes the k/v projections (f32 scratch) so Phase C reuses
+    them instead of re-projecting (as in ``_lab_bwd_kernel``). dW outputs
+    are [3H, C] / [C, H] accumulators revisited by every grid step (TPU
+    grids run sequentially): initialized at b == 0, accumulated after.
     """
     H = heads * dh
     b_idx = pl.program_id(0)
@@ -173,10 +174,13 @@ def _bwd_kernel(xt_ref, wqkv_ref, wout_ref, dyt_ref,
         vT = _mm(w[2 * H:], xtile, md)
         return xtile, kT.reshape(heads, dh, tile), vT.reshape(heads, dh, tile)
 
-    # ---- Phase A: recompute m, z, ctx (as in forward) ----
+    # ---- Phase A: recompute m, z, ctx (as in forward); stash k/v ----
     def body_a(i, carry):
         m, z, ctx = carry
         _, kT, vT = kv_tile(i)
+        sl = pl.ds(i * tile, tile)
+        kt_ref[:, sl] = kT.reshape(H, tile)
+        vt_ref[:, sl] = vT.reshape(H, tile)
         m_new = jnp.maximum(m, jnp.max(kT, axis=2, keepdims=True))
         alpha = jnp.exp(m - m_new)
         ek = jnp.exp(kT - m_new)
@@ -245,7 +249,9 @@ def _bwd_kernel(xt_ref, wqkv_ref, wout_ref, dyt_ref,
     def body_c(i, carry):
         dwk, dwv = carry
         sl = pl.ds(i * tile, tile)
-        xtile, kT, vT = kv_tile(i)
+        xtile = xt_ref[0, :, sl]
+        kT = kt_ref[:, sl].reshape(heads, dh, tile)
+        vT = vt_ref[:, sl].reshape(heads, dh, tile)
         Kp = jnp.exp(kT - m) / z                      # true softmax [h, d, T]
         vn = vT / float(n)
         # dK' = v~ dctx^T : [h, d, T] = dctx [h,d,e] @ vn [h,e,T]
@@ -337,6 +343,10 @@ def _bwd_call(xt, w_qkvT, w_outT, dyt, heads, dh, interpret):
             jax.ShapeDtypeStruct((b, c, n), xt.dtype),
             jax.ShapeDtypeStruct((3 * H, c), jnp.float32),
             jax.ShapeDtypeStruct((c, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H, n), jnp.float32),
+            pltpu.VMEM((H, n), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
