@@ -222,7 +222,14 @@ def import_reference_state_dict(state_dict, template, key_map) -> tuple[dict, li
         if keys and keys[0] == "params":
             keys = keys[1:]
         if keys not in key_map:
-            raise KeyError(f"no reference mapping for param {keys}")
+            hint = ""
+            if any("FrameAttention" in k or "frame_attn" in k for k in keys):
+                hint = (
+                    " — reference checkpoints have no live frame-attention "
+                    "weights; build the target with "
+                    "UNet(frame_attention=False) (see module docstring)"
+                )
+            raise KeyError(f"no reference mapping for param {keys}{hint}")
         tkey, transform = key_map[keys]
         if tkey not in state_dict:
             raise KeyError(f"reference state dict missing {tkey} (for {keys})")
