@@ -3,10 +3,19 @@
 Measures the full training step of the flagship study — UNet(dim=32)
 forward, FD Darcy residual, data + residual log-likelihood loss, backward
 through everything, Adam + grad clip, EMA — at the reference's batch size 64
-(`/root/reference/main.py:79-83`), plus the residual-evaluation throughput.
+(`/root/reference/main.py:79-83`), plus the residual-evaluation throughput
+and the mechanics study's train-step time (UNet(dim=128), FEM residual,
+batch 6; `/root/reference/main.py:102-109`).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Robustness: the tunneled TPU backend dies for hours at a time and its init
+can hang uninterruptibly, so the measurement runs in a child process under a
+hard timeout with bounded retry/backoff. Every successful measurement is
+cached to BENCH_CACHE.json; if all attempts fail, the most recent cached
+result is emitted with ``"provenance": "cached"`` so a backend outage can
+never zero a round's perf artifact.
 
 Baseline derivation (the reference publishes no numbers, BASELINE.md):
 
@@ -34,35 +43,41 @@ from __future__ import annotations
 
 import argparse
 import json
+import pathlib
+import subprocess
+import sys
 import time
-
-from physicsinformeddiffusionmodels_tpu.utils.platform import apply_platform_env
-
-apply_platform_env()
-
-import jax
-import jax.numpy as jnp
-
-from physicsinformeddiffusionmodels_tpu.diffusion import (
-    LossWeights,
-    create_schedule,
-    pidm_loss,
-    uniform_timesteps,
-)
-from physicsinformeddiffusionmodels_tpu.models.unet import UNet
-from physicsinformeddiffusionmodels_tpu.physics.darcy import DarcyResidual
-from physicsinformeddiffusionmodels_tpu.training import (
-    create_train_state,
-    make_optimizer,
-    make_train_step,
-)
 
 A100_TF32_PEAK = 156e12  # dense TF32 tensor-core peak, FLOP/s
 REF_GRANTED_MFU = 0.40  # generous model-FLOP utilization granted to the ref
 V5E_BF16_PEAK = 197e12  # TPU v5e bf16 peak, FLOP/s
 
+CACHE_PATH = pathlib.Path(__file__).parent / "BENCH_CACHE.json"
 
-def build(batch: int, pixels: int, compute_dtype, c_residual: float = 1e-3):
+
+# --------------------------------------------------------------------------
+# measurement (runs in the child process, --_measure)
+# --------------------------------------------------------------------------
+
+
+def build_darcy(batch: int, pixels: int, compute_dtype, c_residual: float = 1e-3):
+    import jax
+    import jax.numpy as jnp
+
+    from physicsinformeddiffusionmodels_tpu.diffusion import (
+        LossWeights,
+        create_schedule,
+        pidm_loss,
+        uniform_timesteps,
+    )
+    from physicsinformeddiffusionmodels_tpu.models.unet import UNet
+    from physicsinformeddiffusionmodels_tpu.physics.darcy import DarcyResidual
+    from physicsinformeddiffusionmodels_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
     sched = create_schedule(100)
     physics = DarcyResidual(pixels_per_dim=pixels)
     model = UNet(dim=32, channels=2, dtype=compute_dtype)
@@ -90,20 +105,78 @@ def build(batch: int, pixels: int, compute_dtype, c_residual: float = 1e-3):
     return state, train_step, residual_eval
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--pixels", type=int, default=64)
-    ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--warmup", type=int, default=5)
-    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
-    args = ap.parse_args()
+def measure_mechanics(steps: int, warmup: int) -> dict:
+    """Train-step time of the conditional mechanics study at the showcase
+    batch size 6 (reference study: `/root/reference/main.py:102-109`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from physicsinformeddiffusionmodels_tpu.config import RunConfig
+    from physicsinformeddiffusionmodels_tpu.diffusion import create_schedule
+    from physicsinformeddiffusionmodels_tpu.physics.mechanics import MechanicsResidual
+    from physicsinformeddiffusionmodels_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from train_mechanics import build_mech_model, build_mechanics_loss_fn
+
+    batch_size = 6
+    cfg = RunConfig(
+        gov_eqs="mechanics", train_batch_size=batch_size,
+        c_residual=1e-3, c_ineq=1e-3, lambda_opt=1e-6,
+    )
+    sched = create_schedule(cfg.diff_steps)
+    mech = MechanicsResidual(pixels_per_dim=cfg.pixels_per_dim)
+    model = build_mech_model(cfg)
+    P = cfg.pixels_per_dim
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, P, P, cfg.model_channels)),
+        jnp.zeros((1,), jnp.int32),
+    )
+    tx = make_optimizer(cfg.lr, cfg.grad_clip)
+    state = create_train_state(params, tx)
+    loss_fn = build_mechanics_loss_fn(model, sched, mech, cfg)
+    train_step = make_train_step(loss_fn, tx)
+
+    # synthetic batch: timing only depends on shapes (the FEM residual is a
+    # fixed-work matrix-free matvec, no data-dependent iteration in the loss)
+    batch = jax.random.normal(jax.random.key(1), (batch_size, P + 1, P + 1, 10))
+    key = jax.random.key(0)
+    for _ in range(warmup):
+        state, aux = train_step(state, batch, key)
+    jax.block_until_ready(aux.loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, aux = train_step(state, batch, key)
+    jax.block_until_ready(aux.loss)
+    dt = time.perf_counter() - t0
+    n_chips = jax.device_count()
+    return {
+        "mech_train_step_ms": round(dt / steps * 1000, 2),
+        "mech_train_samples_per_sec_per_chip": round(
+            batch_size * steps / dt / n_chips, 2
+        ),
+        "mech_batch": batch_size,
+    }
+
+
+def run_measurement(args) -> dict:
+    from physicsinformeddiffusionmodels_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
+    import jax
+    import jax.numpy as jnp
 
     dev = jax.devices()[0]
     n_chips = jax.device_count()
     compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
 
-    state, train_step, residual_eval = build(args.batch, args.pixels, compute_dtype)
+    state, train_step, residual_eval = build_darcy(
+        args.batch, args.pixels, compute_dtype
+    )
 
     key = jax.random.key(0)
     x = jax.random.normal(jax.random.key(1), (args.batch, args.pixels, args.pixels, 2))
@@ -150,6 +223,8 @@ def main():
         "device": str(dev),
         "n_chips": n_chips,
         "final_loss": float(jax.device_get(aux.loss)),
+        "provenance": "measured",
+        "captured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
 
     # FLOP-derived A100 bound for the torch reference (see module docstring)
@@ -171,11 +246,7 @@ def main():
         # same-silicon anchor scaled by a documented (generous) CPU->A100
         # factor of 2000x for this workload
         try:
-            import pathlib
-
-            m = json.loads(
-                (pathlib.Path(__file__).parent / "BASELINE_MEASURED.json").read_text()
-            )
+            m = json.loads(CACHE_PATH.with_name("BASELINE_MEASURED.json").read_text())
             ref_a100_sps = m["torch_cpu_samples_per_sec"] * 2000.0
             result["vs_baseline"] = round(train_sps / ref_a100_sps, 3)
             result["ref_a100_bound_samples_per_sec"] = round(ref_a100_sps, 2)
@@ -185,8 +256,109 @@ def main():
             )
         except Exception:
             result["vs_baseline"] = None
-    print(json.dumps(result))
+
+    # mechanics study step time (flagship conditional model); never let a
+    # failure here lose the Darcy number
+    if not args.skip_mechanics:
+        try:
+            result.update(measure_mechanics(steps=max(10, args.steps // 2),
+                                            warmup=min(3, args.warmup)))
+        except Exception as e:  # pragma: no cover - defensive
+            result["mech_error"] = f"{type(e).__name__}: {e}"
+
+    return result
+
+
+# --------------------------------------------------------------------------
+# orchestrator (default mode): retry/backoff + cached fallback
+# --------------------------------------------------------------------------
+
+
+def orchestrate(args, argv_tail) -> int:
+    last_err = ""
+    for attempt in range(args.attempts):
+        if attempt:
+            time.sleep(args.backoff)
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--_measure", *argv_tail],
+                capture_output=True, text=True, timeout=args.attempt_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {attempt + 1}: timeout after {args.attempt_timeout}s"
+            print(last_err, file=sys.stderr)
+            continue
+        line = next(
+            (l for l in reversed(proc.stdout.strip().splitlines())
+             if l.startswith("{")), None,
+        )
+        if proc.returncode == 0 and line:
+            try:
+                result = json.loads(line)
+            except json.JSONDecodeError:
+                result = None
+            if result and "metric" in result:
+                try:
+                    CACHE_PATH.write_text(json.dumps(result, indent=1))
+                except OSError:
+                    pass
+                print(json.dumps(result))
+                return 0
+        last_err = (
+            f"attempt {attempt + 1}: rc={proc.returncode} "
+            f"stderr_tail={proc.stderr.strip().splitlines()[-3:]}"
+        )
+        print(last_err, file=sys.stderr)
+
+    # all attempts failed: fall back to the most recent successful result
+    if CACHE_PATH.exists():
+        result = json.loads(CACHE_PATH.read_text())
+        result["provenance"] = "cached"
+        result["cache_note"] = (
+            f"live measurement failed ({last_err}); value is the most recent "
+            f"successful on-chip run, captured_at={result.get('captured_at')}"
+        )
+        print(json.dumps(result))
+        return 0
+    print(json.dumps({"metric": "darcy64_train_samples_per_sec_per_chip",
+                      "value": None, "unit": "samples/s/chip",
+                      "vs_baseline": None, "error": last_err}))
+    return 1
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--pixels", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--skip-mechanics", action="store_true")
+    ap.add_argument("--_measure", action="store_true",
+                    help="internal: run the measurement in-process")
+    ap.add_argument("--attempts", type=int, default=2,
+                    help="orchestrator: measurement attempts before cache fallback")
+    ap.add_argument("--attempt-timeout", type=int, default=1500,
+                    help="orchestrator: hard timeout per attempt (s); backend "
+                    "init can hang uninterruptibly over the tunnel")
+    ap.add_argument("--backoff", type=int, default=90,
+                    help="orchestrator: sleep between attempts (s)")
+    args = ap.parse_args()
+
+    if args._measure:
+        print(json.dumps(run_measurement(args)))
+        return 0
+
+    # forward only the measurement-relevant args to the child
+    tail = [
+        "--batch", str(args.batch), "--pixels", str(args.pixels),
+        "--steps", str(args.steps), "--warmup", str(args.warmup),
+        "--dtype", args.dtype,
+    ]
+    if args.skip_mechanics:
+        tail.append("--skip-mechanics")
+    return orchestrate(args, tail)
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -86,6 +86,13 @@ class RunConfig:
     compute_dtype: str = "bfloat16"
 
     def __post_init__(self):
+        if self.residual_grad_guidance and self.gov_eqs != "darcy":
+            # reference parity: guidance via the residual gradient is only
+            # implemented for the Darcy study (`/root/reference/main.py:47-48`)
+            raise ValueError(
+                "residual_grad_guidance is currently only implemented for "
+                f"gov_eqs='darcy' (got gov_eqs='{self.gov_eqs}')."
+            )
         use_ddim = self.x0_estimation == "sample"
         if self.train_batch_size is None:
             if self.gov_eqs == "darcy":

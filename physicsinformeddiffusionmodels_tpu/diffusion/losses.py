@@ -100,9 +100,16 @@ def normal_kl(mean1, logvar1, mean2, logvar2):
     )
 
 
-def loss_variational(sched: DiffusionSchedule, model_mean, x0, x_t, t):
+def loss_variational(
+    sched: DiffusionSchedule, model_mean, x0, x_t, t, clamp: Optional[float] = None
+):
     """Variational (mu-prediction) loss (`denoising_utils.py:576-614`):
-    KL(q(x_{t-1}|x_t,x0) || p(x_{t-1}|x_t)) for t>0, Gaussian NLL at t=0."""
+    KL(q(x_{t-1}|x_t,x0) || p(x_{t-1}|x_t)) for t>0, Gaussian NLL at t=0.
+
+    ``clamp`` floors the t=0 log-likelihood — the TOY study's
+    gaussian_log_likelihood clamps unconditionally at -27.631
+    (`denoising_toy_utils.py:372-383`) while the main engine's does not
+    (`denoising_utils.py:554-558`); pass ll_clamp through for toy parity."""
     batch = x0.shape[0]
     true_mean = sched_lib.posterior_mean(sched, x0, x_t, t)
     true_var = extract(sched.posterior_variance_clipped, t, x_t.ndim)
@@ -111,7 +118,7 @@ def loss_variational(sched: DiffusionSchedule, model_mean, x0, x_t, t):
     kl = normal_kl(true_mean, log_var, model_mean, log_var)
     kl = kl.reshape(batch, -1).mean(axis=1)
 
-    ll = gaussian_log_likelihood(x0, model_mean, true_var)
+    ll = gaussian_log_likelihood(x0, model_mean, true_var, clamp)
     ll = ll.reshape(batch, -1).mean(axis=1)
 
     loss = jnp.where(t == 0, -ll, kl)
@@ -245,7 +252,7 @@ def pidm_loss(
     elif pred_mode == "eps":
         data_loss = ((noise - model_out) ** 2).mean()
     elif pred_mode == "mu":
-        data_loss = loss_variational(sched, model_out, x0, x_t, t)
+        data_loss = loss_variational(sched, model_out, x0, x_t, t, clamp=ll_clamp)
     else:
         raise ValueError(f"Unknown pred_mode: {pred_mode!r}")
 

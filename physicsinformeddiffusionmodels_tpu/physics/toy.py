@@ -76,6 +76,53 @@ def sample_four_points(rng: np.random.Generator, size: int) -> np.ndarray:
     return pts[rng.integers(0, 4, size)]
 
 
+# --------------------------------------------------------------------------
+# Constraint registry: serializable replacement for the reference's
+# dill-pickled user constraint modules (`denoising_toy_utils.py:527-592`).
+# A saved toy run stores a SPEC (registry name + kwargs) in its checkpoint;
+# loading rebuilds the exact physics_fn without executing pickled code.
+# Users plug in custom constraints by registering a factory under a name.
+# --------------------------------------------------------------------------
+
+TOY_CONSTRAINTS: dict = {}
+
+
+def register_toy_constraint(name: str):
+    """Register a constraint factory: ``factory(**kwargs) -> physics_fn``
+    where ``physics_fn(x0_pred) -> PhysicsTerms``."""
+
+    def deco(factory):
+        TOY_CONSTRAINTS[name] = factory
+        return factory
+
+    return deco
+
+
+@register_toy_constraint("hypersphere")
+def _hypersphere_factory(threshold: float = 1.0):
+    def physics_fn(x0_pred: jax.Array) -> PhysicsTerms:
+        return toy_physics(x0_pred, threshold)
+
+    return physics_fn
+
+
+def build_toy_constraint(spec: dict | None):
+    """Rebuild a physics_fn from a checkpoint spec ``{"name":..., "kwargs":...}``.
+
+    ``None``/missing spec falls back to the built-in hypersphere constraints
+    (the reference's defaults, `main_toy.py:51-82`)."""
+    if spec is None:
+        spec = {"name": "hypersphere", "kwargs": {}}
+    name = spec["name"]
+    if name not in TOY_CONSTRAINTS:
+        raise KeyError(
+            f"unknown toy constraint '{name}'; register it with "
+            f"register_toy_constraint before loading (known: "
+            f"{sorted(TOY_CONSTRAINTS)})"
+        )
+    return TOY_CONSTRAINTS[name](**spec.get("kwargs", {}))
+
+
 TOY_DISTRIBUTIONS = {
     "zeros": sample_zeros,
     "gaussian": sample_gaussian,

@@ -180,7 +180,7 @@ def eval_mechanics(cfg: RunConfig, raw, out_dir: Path, no_samples: int, test_bat
                                 history[:, s, :, :, c],
                                 str(ldir / f"sample_{s}" / f"sample_{c}.gif"),
                             )
-            if test_batches != -1 and bi >= test_batches:
+            if test_batches != -1 and bi + 1 >= test_batches:
                 break
         res = np.concatenate(res_list)
         ce = np.concatenate(ce_list)
@@ -199,8 +199,12 @@ def eval_mechanics(cfg: RunConfig, raw, out_dir: Path, no_samples: int, test_bat
                 w.writerow([i, res[i], ce[i], vfe[i], fm[i]])
             w.writerow(["Mean", np.nanmean(res), np.nanmean(ce), np.nanmean(vfe), np.nanmean(fm)])
         print(f"On {level}:")
+        # median AND mean AND max for rel_CE: the OOD set has a heavy tail
+        # (a few catastrophic designs) that a median alone hides; the
+        # reference prints means alongside medians (`sample.py:342`)
         print(
-            "CE median error:", np.median(ce), "VF mean error:", np.mean(vfe),
+            "CE median error:", np.median(ce), "CE mean error:", np.mean(ce),
+            "CE max error:", np.max(ce), "VF mean error:", np.mean(vfe),
             "FM mean error:", np.mean(fm), "Mean residual:", np.mean(res),
             "Median residual:", np.median(res),
             f"(exact-solve fallbacks: {fallback}/{len(ce)})",

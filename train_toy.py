@@ -37,9 +37,9 @@ from physicsinformeddiffusionmodels_tpu.diffusion import (
 )
 from physicsinformeddiffusionmodels_tpu.models.toy import ConditionalModel
 from physicsinformeddiffusionmodels_tpu.physics.toy import (
+    build_toy_constraint,
     hypersphere_residual,
     sample_hypersphere,
-    toy_physics,
 )
 from physicsinformeddiffusionmodels_tpu.training import (
     MetricsLogger,
@@ -77,10 +77,16 @@ def default_config() -> dict:
         "wandb_track": False,
         "lr": 5e-4,
         "seed": 0,
+        # serializable constraint spec (registry name + kwargs) — replaces
+        # the reference's dill-pickled constraint modules
+        # (`denoising_toy_utils.py:527-592`): the spec is stored in the
+        # checkpoint and the physics_fn is rebuilt from it at load time
+        "constraint_spec": {"name": "hypersphere", "kwargs": {}},
     }
 
 
 def build_loss_fn(model, sched, config):
+    physics_fn = build_toy_constraint(config.get("constraint_spec"))
     weights = LossWeights(
         c_data=config["c_data"],
         c_residual=config["c_residual"],
@@ -114,7 +120,7 @@ def build_loss_fn(model, sched, config):
             t,
             n_key,
             denoise_fn=denoise,
-            physics_fn=toy_physics,
+            physics_fn=physics_fn,
             weights=weights,
             pred_mode=pred_mode,
             x0_sampler=sampler,
@@ -122,6 +128,37 @@ def build_loss_fn(model, sched, config):
         )
 
     return loss_fn
+
+
+def load_toy_run(model_dir):
+    """Rebuild a saved toy run: model, typed params, schedule, config, and
+    the constraint physics_fn reconstructed from its serialized spec.
+
+    Equivalent of the reference's `load_model`
+    (`denoising_toy_utils.py:563-592`), which restores the dill-pickled
+    residual/ineq/opt modules alongside the weights — here the constraint
+    comes back from the registry spec stored in the checkpoint, so a saved
+    run is self-contained without executing pickled code."""
+    from flax import serialization
+
+    from physicsinformeddiffusionmodels_tpu.training import (
+        latest_checkpoint,
+        load_checkpoint,
+    )
+
+    path = latest_checkpoint(Path(model_dir) / "model")
+    if path is None:
+        raise FileNotFoundError(f"no checkpoint under {Path(model_dir) / 'model'}")
+    raw = load_checkpoint(path)
+    config = json.loads((path.parent / "config.json").read_text())
+    model = ConditionalModel(dim=config["dim"], n_steps=config["n_steps"])
+    template = model.init(
+        jax.random.key(0), jnp.zeros((1, config["dim"])), jnp.zeros((1,), jnp.int32)
+    )
+    params = serialization.from_state_dict(template, raw["params"])
+    sched = create_schedule(config["n_steps"])
+    physics_fn = build_toy_constraint(config.get("constraint_spec"))
+    return model, params, sched, config, physics_fn
 
 
 def main(argv=None):
