@@ -39,14 +39,17 @@ def generate_set(
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     idx, done = 0, 0
+    meta = []  # (index, family, vf) rows -> scenarios.csv
     t0 = time.time()
     while done < n_samples:
         nb = min(batch, n_samples - done)
         fixed = np.zeros((batch, fem.neq), bool)
         f = np.zeros((batch, fem.neq))
         vf = np.zeros(batch)
+        fams = []
         for b in range(batch):
             fam = families[(done + b) % len(families)]
+            fams.append(fam)
             fixed[b], f[b] = SCENARIO_FAMILIES[fam](fem, rng)
             vf[b] = rng.uniform(*vf_range)
         scen = gen.scenarios_from_host(fixed, f, vf)
@@ -60,8 +63,13 @@ def generate_set(
         for b in range(nb):
             s = fields_from_design(fem, rho[b], fixed[b], f[b], penal=penal)
             np.save(out / f"{idx}.npy", s)
+            meta.append((idx, fams[b], float(vf[b])))
             idx += 1
         done += nb
+    with open(out / "scenarios.csv", "w") as fh:
+        fh.write("index,family,vf\n")
+        for i, fam, v in meta:
+            fh.write(f"{i},{fam},{v:.6f}\n")
     print(f"  -> {n_samples} samples in {time.time() - t0:.1f}s", flush=True)
 
 
