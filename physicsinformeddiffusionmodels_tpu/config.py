@@ -101,8 +101,10 @@ class RunConfig:
                 self.train_batch_size = 4 if use_ddim else 6
         if self.unet_dim is None:
             self.unet_dim = 32 if self.gov_eqs == "darcy" else 128
-        if self.gov_eqs == "mechanics" and self.train_iterations == 300_000:
-            self.train_iterations = 600_000
+        # NOTE: the mechanics study's 600k-iteration default
+        # (`/root/reference/main.py:102-109`) lives in train_mechanics.py's
+        # argparse default — rewriting it here would silently turn an
+        # explicit `--iterations 300000` into 600k.
 
     @property
     def use_ddim_x0(self) -> bool:
