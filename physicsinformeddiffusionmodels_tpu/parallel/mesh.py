@@ -11,6 +11,13 @@ Axes:
   'tp' — tensor parallel: output-feature axis of large conv/dense kernels
          (mechanics UNet dim=128 blocks are the target; darcy dim=32 keeps
          tp=1).
+
+When to use 'tp' (compiled-HLO evidence in docs/TP_EVIDENCE.md): tp=2
+halves per-device parameter/optimizer/EMA state and peak program memory
+for the dim=128 mechanics step, at ~1.5x the collective bytes spread over
+~400 ops instead of DP's 2 gradient all-reduces. TP is the memory lever
+(bigger models/batches/resolutions per chip); pure DP remains the
+throughput default at the reference's shapes.
 """
 
 from __future__ import annotations
