@@ -1,0 +1,87 @@
+"""Tests for scripts/diagnose_ood_tail.py — the family attribution must
+stay in lockstep with scripts/generate_mechanics_sets.py's round-robin
+assignment, or the tail report silently mislabels scenarios."""
+
+import csv
+import importlib.util
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _load(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+diag = _load("diagnose_ood_tail", ROOT / "scripts" / "diagnose_ood_tail.py")
+
+
+def test_modulo_mapping_matches_generator_assignment():
+    """generate_mechanics_sets assigns families[(done+b) % len] with done
+    counting over all prior samples — for any batch split that reduces to
+    index % len(families)."""
+    families = ("cantilever_multiload", "bridge", "double_clamp")
+    # simulate the generator's loop for an awkward batch split
+    n, batch = 10, 4
+    assigned = []
+    done = 0
+    while done < n:
+        nb = min(batch, n - done)
+        for b in range(nb):
+            assigned.append(families[(done + b) % len(families)])
+        done += nb
+    got = diag.load_families(Path("/nonexistent"), "test_level_2", n)
+    assert got == assigned
+
+
+def test_scenarios_csv_preferred_over_modulo(tmp_path):
+    rows = [(0, "bridge", 0.4), (1, "bridge", 0.5), (2, "double_clamp", 0.3)]
+    with open(tmp_path / "scenarios.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["index", "family", "vf"])
+        for r in rows:
+            w.writerow(r)
+    got = diag.load_families(tmp_path, "test_level_2", 3)
+    assert got == ["bridge", "bridge", "double_clamp"]
+
+
+def test_report_end_to_end(tmp_path, monkeypatch, capsys):
+    """Full report over a synthetic eval dir + data dir; one planted
+    catastrophic sample must appear in the tail table with its family."""
+    n = 12
+    rng = np.random.default_rng(0)
+    edir = tmp_path / "run" / "evaluation_1" / "test_level_2"
+    edir.mkdir(parents=True)
+    ce = rng.uniform(0.01, 0.05, n)
+    ce[7] = 8.25  # planted tail sample -> family index 7 % 3 = 'bridge'
+    np.savetxt(edir / "rel_CE_error.csv", ce, delimiter=",")
+    np.savetxt(edir / "rel_vf_error.csv", rng.uniform(0, 0.02, n), delimiter=",")
+    np.savetxt(edir / "fm_error.csv", (rng.uniform(0, 1, n) > 0.9).astype(float),
+               delimiter=",")
+    np.savetxt(edir / "residuals.csv", rng.uniform(0, 1e-3, n), delimiter=",")
+    ddir = tmp_path / "data" / "test" / "test_level_2" / "fields"
+    ddir.mkdir(parents=True)
+    for i in range(n):
+        arr = np.zeros((65, 65, 10), np.float32)
+        arr[..., 0] = 0.3 + 0.03 * i  # vf channel
+        np.save(ddir / f"{i}.npy", arr)
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["diagnose_ood_tail.py", "--model-dir", str(tmp_path / "run"),
+         "--data-root", str(tmp_path / "data")],
+    )
+    diag.main()
+    report = (edir / "ood_tail_report.md").read_text()
+    assert "| 7 | bridge |" in report and "8.25" in report
+    assert "cantilever_multiload" in report  # per-family section covers all
+    # planted sample's vf = 0.3 + 0.03*7
+    assert "0.510" in report
