@@ -47,6 +47,11 @@ class RunConfig:
     test_eval_freq: int = 500
     sample_freq: int = 20_000
     log_freq: int = 20
+    # >1: advance this many optimizer steps per device dispatch (lax.scan in
+    # make_chunked_resident_step) — amortises per-step host→device RPC latency
+    # on tunneled TPUs; bit-identical stepping (keys/EMA derive from
+    # state.step). All log/eval/sample freqs must be multiples of it.
+    chunk_steps: int = 1
     no_samples: int = 8
     seed: int = 0
     use_double: bool = False
@@ -105,6 +110,18 @@ class RunConfig:
         # (`/root/reference/main.py:102-109`) lives in train_mechanics.py's
         # argparse default — rewriting it here would silently turn an
         # explicit `--iterations 300000` into 600k.
+
+    def validate_chunking(self):
+        """With chunk_steps > 1, every periodic event must land on a chunk
+        end, or the driver loop would silently skip it mid-chunk."""
+        if self.chunk_steps <= 1:
+            return
+        for name in ("log_freq", "test_eval_freq", "sample_freq"):
+            v = getattr(self, name)
+            if v % self.chunk_steps != 0:
+                raise ValueError(
+                    f"{name}={v} must be a multiple of chunk_steps={self.chunk_steps}"
+                )
 
     @property
     def use_ddim_x0(self) -> bool:

@@ -4,6 +4,7 @@ from physicsinformeddiffusionmodels_tpu.training.trainer import (
     TrainState,
     create_train_state,
     make_optimizer,
+    make_chunked_resident_step,
     make_device_resident_step,
     make_train_step,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_optimizer",
+    "make_chunked_resident_step",
     "make_device_resident_step",
     "make_train_step",
     "latest_checkpoint",

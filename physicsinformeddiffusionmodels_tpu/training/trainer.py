@@ -106,3 +106,45 @@ def make_device_resident_step(
         return inner(state, batch, key)
 
     return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_chunked_resident_step(
+    loss_fn: Callable,
+    tx,
+    batch_size: int,
+    chunk: int,
+    ema_mu: float = 0.99,
+    ema_start: int = 1000,
+):
+    """``chunk`` device-resident train steps per dispatch, via ``lax.scan``.
+
+    One host→device call advances the state by ``chunk`` optimizer steps, so
+    per-step dispatch latency (material on a remote/tunneled TPU, where each
+    call is an RPC) is amortised 1/chunk. Bit-identical to looping
+    ``make_device_resident_step`` ``chunk`` times: every step derives its key
+    as ``fold_in(key, state.step)`` and EMA gating reads ``state.step``, so
+    nothing depends on how steps are grouped into dispatches.
+
+    Returns ``step_fn(state, data, key) -> (state, aux_of_last_step)`` — the
+    same aux the per-step driver loop would have had in hand at the chunk's
+    final iteration (drivers only consume aux at log/eval boundaries, which
+    they align to chunk ends).
+    """
+    inner = make_train_step(loss_fn, tx, ema_mu=ema_mu, ema_start=ema_start, donate=False)
+
+    def one(state: TrainState, data, key):
+        idx_key = jax.random.fold_in(jax.random.fold_in(key, state.step), 1)
+        idx = jax.random.randint(idx_key, (batch_size,), 0, data.shape[0])
+        batch = jnp.take(data, idx, axis=0)
+        return inner(state, batch, key)
+
+    def step_fn(state: TrainState, data, key):
+        def body(st, _):
+            st, aux = one(st, data, key)
+            return st, aux
+
+        state, auxes = jax.lax.scan(body, state, None, length=chunk)
+        last_aux = jax.tree_util.tree_map(lambda a: a[-1], auxes)
+        return state, last_aux
+
+    return jax.jit(step_fn, donate_argnums=(0,))

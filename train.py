@@ -41,6 +41,7 @@ from physicsinformeddiffusionmodels_tpu.training import (
     MetricsLogger,
     create_train_state,
     make_optimizer,
+    make_chunked_resident_step,
     make_device_resident_step,
     make_train_step,
     restore_train_state,
@@ -175,6 +176,9 @@ def main(argv=None):
     ap.add_argument("--compute-dtype", default=None)
     ap.add_argument("--pixels-per-dim", type=int, default=None)
     ap.add_argument("--no-samples", type=int, default=None)
+    ap.add_argument("--chunk-steps", type=int, default=None,
+                    help=">1: optimizer steps per device dispatch (lax.scan); "
+                    "bit-identical stepping, amortises dispatch latency")
     ap.add_argument("--residual-grad-guidance", action="store_true")
     ap.add_argument("--mesh-dp", type=int, default=None,
                     help="data-parallel mesh size (default: all devices / tp)")
@@ -199,7 +203,7 @@ def main(argv=None):
         ("data_dir", "data_dir"), ("valid_data_dir", "valid_data_dir"),
         ("sample_freq", "sample_freq"), ("test_eval_freq", "test_eval_freq"),
         ("compute_dtype", "compute_dtype"), ("pixels_per_dim", "pixels_per_dim"),
-        ("no_samples", "no_samples"),
+        ("no_samples", "no_samples"), ("chunk_steps", "chunk_steps"),
         ("mesh_dp", "mesh_dp"), ("mesh_tp", "mesh_tp"),
     ]:
         v = getattr(args, k_arg)
@@ -272,12 +276,19 @@ def run_darcy(cfg: RunConfig):
     # single-device: keep the whole (few-MB) dataset in HBM and gather the
     # minibatch inside the jitted step — no per-step host work/H2D
     data_dev = None
+    train_step_chunked = None
     if not multi_device:
         data_dev = jnp.asarray(ds.stacked())
         train_step_resident = make_device_resident_step(
             loss_fn, tx, cfg.train_batch_size,
             ema_mu=cfg.ema_decay, ema_start=cfg.ema_start,
         )
+        if cfg.chunk_steps > 1:
+            cfg.validate_chunking()
+            train_step_chunked = make_chunked_resident_step(
+                loss_fn, tx, cfg.train_batch_size, cfg.chunk_steps,
+                ema_mu=cfg.ema_decay, ema_start=cfg.ema_start,
+            )
     eval_loss = jax.jit(lambda params, batch, key: loss_fn(params, batch, key, 0)[1])
     sample_fn = make_sample_fn(model, sched, physics, cfg)
 
@@ -287,8 +298,19 @@ def run_darcy(cfg: RunConfig):
     # one base key for the whole run: the per-step key derives inside the
     # jitted step from (base, state.step) — no per-step split dispatch
     key, train_key = jax.random.split(key)
-    for it in range(start_it, cfg.train_iterations + 1):
-        if data_dev is not None:
+    chunk = cfg.chunk_steps
+    it = start_it
+    while it <= cfg.train_iterations:
+        if (
+            train_step_chunked is not None
+            and it % chunk == 1
+            and it + chunk - 1 <= cfg.train_iterations
+        ):
+            # one dispatch advances `chunk` steps; chunk ends land exactly on
+            # the log/eval/sample boundaries (all freqs are chunk multiples)
+            state, aux = train_step_chunked(state, data_dev, train_key)
+            it += chunk - 1
+        elif data_dev is not None:
             state, aux = train_step_resident(state, data_dev, train_key)
         else:
             batch = shard_batch(jnp.asarray(next(dl)), mesh)
@@ -354,6 +376,8 @@ def run_darcy(cfg: RunConfig):
                 opt_state=state.opt_state, config=dataclasses.asdict(cfg),
             )
             print(f"it {it}: sampled, residual mean {np.nanmean(res_b):.3e}")
+
+        it += 1
 
     logger.close()
     return state

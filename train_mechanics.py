@@ -48,6 +48,7 @@ from physicsinformeddiffusionmodels_tpu.training import (
     MetricsLogger,
     create_train_state,
     make_optimizer,
+    make_chunked_resident_step,
     make_device_resident_step,
     make_train_step,
     restore_train_state,
@@ -217,18 +218,36 @@ def run_mechanics(cfg: RunConfig):
 
     # single-device: dataset lives in HBM, batch gathered inside the step
     data_dev = None
+    train_step_chunked = None
     if not multi_device:
         data_dev = jnp.asarray(ds.stacked())
         train_step_resident = make_device_resident_step(
             loss_fn, tx, cfg.train_batch_size,
             ema_mu=cfg.ema_decay, ema_start=cfg.ema_start,
         )
+        if cfg.chunk_steps > 1:
+            cfg.validate_chunking()
+            train_step_chunked = make_chunked_resident_step(
+                loss_fn, tx, cfg.train_batch_size, cfg.chunk_steps,
+                ema_mu=cfg.ema_decay, ema_start=cfg.ema_start,
+            )
 
     logger = MetricsLogger(str(out_dir), run_name=cfg.name)
     t0 = time.time()
     key, train_key = jax.random.split(key)
-    for it in range(start_it, cfg.train_iterations + 1):
-        if data_dev is not None:
+    chunk = cfg.chunk_steps
+    it = start_it
+    while it <= cfg.train_iterations:
+        if (
+            train_step_chunked is not None
+            and it % chunk == 1
+            and it + chunk - 1 <= cfg.train_iterations
+        ):
+            # one dispatch advances `chunk` steps; chunk ends land exactly on
+            # the log/eval/sample boundaries (all freqs are chunk multiples)
+            state, aux = train_step_chunked(state, data_dev, train_key)
+            it += chunk - 1
+        elif data_dev is not None:
             state, aux = train_step_resident(state, data_dev, train_key)
         else:
             batch = shard_batch(jnp.asarray(next(dl)), mesh)
@@ -290,6 +309,8 @@ def run_mechanics(cfg: RunConfig):
             )
             print(f"it {it}: sampled; {metrics}")
 
+        it += 1
+
     logger.close()
     return state
 
@@ -310,6 +331,9 @@ if __name__ == "__main__":
     ap.add_argument("--sample-freq", type=int, default=20000)
     ap.add_argument("--test-eval-freq", type=int, default=500)
     ap.add_argument("--no-samples", type=int, default=8)
+    ap.add_argument("--chunk-steps", type=int, default=1,
+                    help=">1: optimizer steps per device dispatch (lax.scan); "
+                    "bit-identical stepping, amortises dispatch latency")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint of this run name")
     ap.add_argument("--mesh-dp", type=int, default=None)
@@ -327,7 +351,8 @@ if __name__ == "__main__":
         data_dir=a.data_dir, valid_data_dir=a.valid_data_dir,
         x0_estimation=a.x0_estimation, c_residual=a.c_residual,
         sample_freq=a.sample_freq, test_eval_freq=a.test_eval_freq,
-        no_samples=a.no_samples, c_ineq=1e-3, lambda_opt=1e-6,
+        no_samples=a.no_samples, chunk_steps=a.chunk_steps,
+        c_ineq=1e-3, lambda_opt=1e-6,
         unet_dim=a.unet_dim, resume=a.resume,
         mesh_dp=a.mesh_dp, mesh_tp=a.mesh_tp,
         tp_shard_activations=a.tp_shard_activations,
