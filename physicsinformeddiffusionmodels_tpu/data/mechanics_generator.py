@@ -196,6 +196,72 @@ def _scenario_cantilever(fem: MechanicsFEM, rng: np.random.Generator):
     return fixed, f
 
 
+def _edge_nodes(fem: MechanicsFEM, edge: str) -> np.ndarray:
+    """Node ids along one boundary edge. Node (i, j) has id i*nn + j with
+    y = i (row) and x = j (column)."""
+    nn = fem.nn
+    r = np.arange(nn)
+    return {
+        "left": r * nn,
+        "right": r * nn + (nn - 1),
+        "bottom": r,  # i = 0
+        "top": (nn - 1) * nn + r,
+    }[edge]
+
+
+_OPPOSITE_EDGE = {"left": "right", "right": "left", "bottom": "top", "top": "bottom"}
+
+
+def _scenario_edge_cantilever(fem: MechanicsFEM, rng: np.random.Generator):
+    """Training family: ONE full edge (chosen uniformly from all four) fully
+    clamped, unit-magnitude point load at a random node of the opposite edge
+    with a direction drawn from the full circle. Teaches the conditioning
+    channels that the support edge and load direction vary — left-clamp-only
+    training lets the model ignore the BC images entirely, which is what
+    produced the round-2 OOD rel_CE tail."""
+    edge = ("left", "right", "bottom", "top")[int(rng.integers(0, 4))]
+    fixed = np.zeros(fem.neq, bool)
+    en = _edge_nodes(fem, edge)
+    fixed[2 * en] = True
+    fixed[2 * en + 1] = True
+
+    load_nodes = _edge_nodes(fem, _OPPOSITE_EDGE[edge])
+    load_node = int(load_nodes[rng.integers(0, len(load_nodes))])
+    theta = rng.uniform(0.0, 2 * np.pi)
+    f = np.zeros(fem.neq)
+    f[2 * load_node] = np.cos(theta)
+    f[2 * load_node + 1] = np.sin(theta)
+    return fixed, f
+
+
+def _scenario_partial_clamp(fem: MechanicsFEM, rng: np.random.Generator):
+    """Training family: a random contiguous span (1/3 .. 3/4 of the edge) of a
+    random edge clamped, unit point load at a random boundary node that is not
+    fixed. Varies support EXTENT as well as placement; still a single
+    contiguous clamp + single load, so the level-2 families (two loads;
+    pin+roller point supports; two full edges clamped) remain unseen."""
+    nn = fem.nn
+    edge = ("left", "right", "bottom", "top")[int(rng.integers(0, 4))]
+    en = _edge_nodes(fem, edge)
+    span = int(rng.integers(nn // 3, 3 * nn // 4 + 1))
+    start = int(rng.integers(0, nn - span + 1))
+    clamped = en[start : start + span]
+    fixed = np.zeros(fem.neq, bool)
+    fixed[2 * clamped] = True
+    fixed[2 * clamped + 1] = True
+
+    boundary = np.unique(
+        np.concatenate([_edge_nodes(fem, e) for e in ("left", "right", "bottom", "top")])
+    )
+    free = boundary[~fixed[2 * boundary]]
+    load_node = int(free[rng.integers(0, len(free))])
+    theta = rng.uniform(0.0, 2 * np.pi)
+    f = np.zeros(fem.neq)
+    f[2 * load_node] = np.cos(theta)
+    f[2 * load_node + 1] = np.sin(theta)
+    return fixed, f
+
+
 def _scenario_cantilever_multiload(fem: MechanicsFEM, rng: np.random.Generator):
     """OOD: left edge clamped, TWO independent right-edge point loads —
     load multiplicity never seen in training."""
@@ -261,10 +327,19 @@ def _scenario_double_clamp(fem: MechanicsFEM, rng: np.random.Generator):
 # evaluates test_level_1 (in-) and test_level_2 (out-of-distribution))
 SCENARIO_FAMILIES = {
     "cantilever": _scenario_cantilever,
+    "edge_cantilever": _scenario_edge_cantilever,
+    "partial_clamp": _scenario_partial_clamp,
     "cantilever_multiload": _scenario_cantilever_multiload,
     "bridge": _scenario_bridge,
     "double_clamp": _scenario_double_clamp,
 }
+
+# The diversified training mix (v2 data): support edge/extent and load
+# direction all vary, so the BC/load conditioning channels carry real signal
+# (matching the reference dataset's randomized supports+loads). The OOD
+# level-2 families stay held out of this mix.
+IN_DIST_FAMILIES = ("cantilever", "edge_cantilever", "partial_clamp")
+OOD_FAMILIES = ("cantilever_multiload", "bridge", "double_clamp")
 
 
 def fields_from_design(

@@ -24,9 +24,12 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from physicsinformeddiffusionmodels_tpu.data.mechanics_generator import (
+    IN_DIST_FAMILIES,
+    OOD_FAMILIES,
     SCENARIO_FAMILIES,
     MechanicsFEM,
     fields_from_design,
+    simp_topopt,
 )
 from physicsinformeddiffusionmodels_tpu.data.mechanics_generator_tpu import (
     TpuSimpGenerator,
@@ -34,11 +37,18 @@ from physicsinformeddiffusionmodels_tpu.data.mechanics_generator_tpu import (
 
 
 def generate_set(
-    fem, gen, out_dir, n_samples, batch, families, vf_range, rng, penal=3.0
+    fem, gen, out_dir, n_samples, batch, families, vf_range, rng, penal=3.0,
+    start_index=0, n_iter=50,
 ):
+    """Write ``n_samples`` samples ``<start_index + i>.npy`` (+ scenario
+    metadata). ``gen`` is a ``TpuSimpGenerator`` or ``None`` for the host
+    sparse-FEM SIMP path — the scenario construction, field assembly, and
+    metadata are identical either way, so a set can be sharded across a busy
+    accelerator and the host (``--start-index``; shard metadata files
+    ``scenarios_<start>.csv`` are merged by index with ``scenarios.csv``)."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    idx, done = 0, 0
+    idx, done = start_index, 0
     meta = []  # (index, family, vf) rows -> scenarios.csv
     t0 = time.time()
     while done < n_samples:
@@ -48,16 +58,28 @@ def generate_set(
         vf = np.zeros(batch)
         fams = []
         for b in range(batch):
-            fam = families[(done + b) % len(families)]
+            fam = families[(start_index + done + b) % len(families)]
             fams.append(fam)
             fixed[b], f[b] = SCENARIO_FAMILIES[fam](fem, rng)
             vf[b] = rng.uniform(*vf_range)
-        scen = gen.scenarios_from_host(fixed, f, vf)
-        rho, relres = gen.optimize(scen)
-        rho = np.asarray(rho, np.float64)
+        if gen is not None:
+            scen = gen.scenarios_from_host(fixed, f, vf)
+            rho, relres = gen.optimize(scen)
+            rho = np.asarray(rho, np.float64)
+            tag = f"device SIMP done, relres max {float(np.asarray(relres).max()):.2e}"
+        else:
+            rho = np.stack(
+                [
+                    simp_topopt(fem, float(vf[b]), f[b], fixed[b],
+                                penal=penal, n_iter=n_iter)
+                    for b in range(nb)
+                ]
+                + [np.zeros(fem.nels)] * (batch - nb)
+            )
+            tag = "host SIMP done"
         print(
-            f"  [{out.parent.name}/{out.name}] batch {done}-{done + nb}: "
-            f"device SIMP done, relres max {float(np.asarray(relres).max()):.2e}",
+            f"  [{out.parent.name}/{out.name}] batch {done}-{done + nb} "
+            f"(files {idx}..{idx + nb - 1}): {tag}",
             flush=True,
         )
         for b in range(nb):
@@ -66,7 +88,8 @@ def generate_set(
             meta.append((idx, fams[b], float(vf[b])))
             idx += 1
         done += nb
-    with open(out / "scenarios.csv", "w") as fh:
+    name = "scenarios.csv" if start_index == 0 else f"scenarios_{start_index}.csv"
+    with open(out / name, "w") as fh:
         fh.write("index,family,vf\n")
         for i, fam, v in meta:
             fh.write(f"{i},{fam},{v:.6f}\n")
@@ -82,25 +105,47 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--n-iter", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--device", default="tpu", choices=["tpu", "host"],
+                    help="host: sparse-FEM SIMP on CPU (no accelerator "
+                    "needed — lets a set shard run while the chip trains)")
+    ap.add_argument("--only", default="all",
+                    choices=["all", "train", "valid", "test_level_1", "test_level_2"])
+    ap.add_argument("--start-index", type=int, default=0,
+                    help="first output file index of this shard (train only)")
+    ap.add_argument("--in-dist-families", default=",".join(IN_DIST_FAMILIES),
+                    help="comma-separated train/valid/level-1 family mix")
     args = ap.parse_args()
 
     fem = MechanicsFEM(64)
-    gen = TpuSimpGenerator(64, n_iter=args.n_iter)
-    rng = np.random.default_rng(args.seed)
+    if args.device == "tpu":
+        gen = TpuSimpGenerator(64, n_iter=args.n_iter)
+        batch = args.batch
+    else:
+        gen = None
+        batch = min(args.batch, 8)
+    # decorrelate shard RNG streams (scenarios are drawn host-side either way)
+    rng = np.random.default_rng((args.seed, args.start_index))
     root = Path(args.root)
-    in_dist = ("cantilever",)
-    ood = ("cantilever_multiload", "bridge", "double_clamp")
+    in_dist = tuple(args.in_dist_families.split(","))
+    ood = OOD_FAMILIES
 
     t0 = time.time()
-    generate_set(fem, gen, root / "train" / "fields", args.n_train,
-                 args.batch, in_dist, (0.3, 0.6), rng)
-    generate_set(fem, gen, root / "test" / "valid" / "fields", args.n_valid,
-                 args.batch, in_dist, (0.3, 0.6), rng)
-    generate_set(fem, gen, root / "test" / "test_level_1" / "fields",
-                 args.n_test, args.batch, in_dist, (0.3, 0.6), rng)
-    # OOD: unseen BC/load families AND a volume-fraction range shift
-    generate_set(fem, gen, root / "test" / "test_level_2" / "fields",
-                 args.n_test, args.batch, ood, (0.25, 0.7), rng)
+    if args.only in ("all", "train"):
+        generate_set(fem, gen, root / "train" / "fields", args.n_train,
+                     batch, in_dist, (0.3, 0.6), rng,
+                     start_index=args.start_index, n_iter=args.n_iter)
+    if args.only in ("all", "valid"):
+        generate_set(fem, gen, root / "test" / "valid" / "fields", args.n_valid,
+                     batch, in_dist, (0.3, 0.6), rng, n_iter=args.n_iter)
+    if args.only in ("all", "test_level_1"):
+        generate_set(fem, gen, root / "test" / "test_level_1" / "fields",
+                     args.n_test, batch, in_dist, (0.3, 0.6), rng,
+                     n_iter=args.n_iter)
+    if args.only in ("all", "test_level_2"):
+        # OOD: unseen BC/load families AND a volume-fraction range shift
+        generate_set(fem, gen, root / "test" / "test_level_2" / "fields",
+                     args.n_test, batch, ood, (0.25, 0.7), rng,
+                     n_iter=args.n_iter)
     print(f"All sets done in {time.time() - t0:.1f}s")
 
 
