@@ -5,7 +5,10 @@ forward, FD Darcy residual, data + residual log-likelihood loss, backward
 through everything, Adam + grad clip, EMA — at the reference's batch size 64
 (`/root/reference/main.py:79-83`), plus the residual-evaluation throughput
 and the mechanics study's train-step time (UNet(dim=128), FEM residual,
-batch 6; `/root/reference/main.py:102-109`).
+batch 6; `/root/reference/main.py:102-109`). Both shipped training paths are
+timed: per-dispatch (one jitted step per host call) and chunked (the drivers'
+--chunk-steps lax.scan path, which amortises the per-step RPC latency a
+tunneled/remote TPU pays); the headline value is the better of the two.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -102,7 +105,7 @@ def build_darcy(batch: int, pixels: int, compute_dtype, c_residual: float = 1e-3
 
     train_step = make_train_step(loss_fn, tx)
     residual_eval = jax.jit(lambda x: physics.residual(x))
-    return state, train_step, residual_eval
+    return state, train_step, residual_eval, loss_fn, tx
 
 
 def measure_mechanics(steps: int, warmup: int) -> dict:
@@ -174,7 +177,7 @@ def run_measurement(args) -> dict:
     n_chips = jax.device_count()
     compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
 
-    state, train_step, residual_eval = build_darcy(
+    state, train_step, residual_eval, loss_fn, tx = build_darcy(
         args.batch, args.pixels, compute_dtype
     )
 
@@ -202,6 +205,34 @@ def run_measurement(args) -> dict:
     dt = time.perf_counter() - t0
     train_sps = args.batch * args.steps / dt / n_chips
 
+    # chunked-dispatch path (the drivers' production loop, --chunk-steps):
+    # `chunk` optimizer steps per host->device call via lax.scan, which
+    # removes the per-step RPC overhead a tunneled/remote TPU pays
+    train_sps_chunked = None
+    try:
+        from physicsinformeddiffusionmodels_tpu.training import (
+            make_chunked_resident_step,
+        )
+
+        chunk = args.chunk_steps
+        data = jax.random.normal(
+            jax.random.key(2), (4 * args.batch, args.pixels, args.pixels, 2)
+        )
+        cstate, *_ = build_darcy(args.batch, args.pixels, compute_dtype)
+        chunked = make_chunked_resident_step(loss_fn, tx, args.batch, chunk)
+        cstate, caux = chunked(cstate, data, key)  # compile
+        jax.block_until_ready(caux.loss)
+        n_disp = max(2, args.steps // chunk)
+        t0 = time.perf_counter()
+        for _ in range(n_disp):
+            cstate, caux = chunked(cstate, data, key)
+        jax.block_until_ready(caux.loss)
+        train_sps_chunked = (
+            args.batch * chunk * n_disp / (time.perf_counter() - t0) / n_chips
+        )
+    except Exception as e:  # never lose the per-step number to this
+        print(f"chunked measurement failed: {e}", file=sys.stderr)
+
     # residual-evaluation throughput (the physics layer alone)
     r = residual_eval(x)
     jax.block_until_ready(r)
@@ -212,10 +243,17 @@ def run_measurement(args) -> dict:
     jax.block_until_ready(r)
     res_eps = args.batch * reps / (time.perf_counter() - t0) / n_chips
 
+    # headline = the better of the two real training paths (both are shipped
+    # driver modes; chunked is the default recommendation on tunneled chips)
+    best_sps = max(train_sps, train_sps_chunked or 0.0)
     result = {
         "metric": "darcy64_train_samples_per_sec_per_chip",
-        "value": round(train_sps, 2),
+        "value": round(best_sps, 2),
         "unit": "samples/s/chip",
+        "train_sps_per_dispatch_path": round(train_sps, 2),
+        "train_sps_chunked_path": (
+            round(train_sps_chunked, 2) if train_sps_chunked else None
+        ),
         "residual_evals_per_sec_per_chip": round(res_eps, 1),
         "batch": args.batch,
         "pixels": args.pixels,
@@ -229,9 +267,9 @@ def run_measurement(args) -> dict:
 
     # FLOP-derived A100 bound for the torch reference (see module docstring)
     if flops_per_step is not None:
-        sec_per_step = args.batch / train_sps
+        sec_per_step = args.batch / best_sps
         ref_a100_sps = args.batch / (flops_per_step / (A100_TF32_PEAK * REF_GRANTED_MFU))
-        result["vs_baseline"] = round(train_sps / ref_a100_sps, 3)
+        result["vs_baseline"] = round(best_sps / ref_a100_sps, 3)
         result["flops_per_step"] = flops_per_step
         result["mfu_vs_v5e_bf16_peak"] = round(
             flops_per_step / sec_per_step / V5E_BF16_PEAK, 4
@@ -248,7 +286,7 @@ def run_measurement(args) -> dict:
         try:
             m = json.loads(CACHE_PATH.with_name("BASELINE_MEASURED.json").read_text())
             ref_a100_sps = m["torch_cpu_samples_per_sec"] * 2000.0
-            result["vs_baseline"] = round(train_sps / ref_a100_sps, 3)
+            result["vs_baseline"] = round(best_sps / ref_a100_sps, 3)
             result["ref_a100_bound_samples_per_sec"] = round(ref_a100_sps, 2)
             result["baseline_provenance"] = (
                 "measured torch-reference CPU step (BASELINE_MEASURED.json) "
@@ -333,6 +371,8 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--chunk-steps", type=int, default=20,
+                    help="steps per dispatch for the chunked-path measurement")
     ap.add_argument("--skip-mechanics", action="store_true")
     ap.add_argument("--_measure", action="store_true",
                     help="internal: run the measurement in-process")
@@ -353,7 +393,7 @@ def main():
     tail = [
         "--batch", str(args.batch), "--pixels", str(args.pixels),
         "--steps", str(args.steps), "--warmup", str(args.warmup),
-        "--dtype", args.dtype,
+        "--dtype", args.dtype, "--chunk-steps", str(args.chunk_steps),
     ]
     if args.skip_mechanics:
         tail.append("--skip-mechanics")

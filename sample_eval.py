@@ -229,6 +229,9 @@ def main():
     ap.add_argument("--m-correction", type=int, default=None)
     ap.add_argument("--n-correction", type=int, default=None)
     ap.add_argument("--guidance-scale", type=float, default=None)
+    ap.add_argument("--dynamic-threshold", default=None, choices=["on", "off"],
+                    help="override Imagen-style dynamic thresholding during "
+                    "sampling (an inference-time lever against OOD blowups)")
     args = ap.parse_args()
 
     cfg, raw = load_run(args.model_dir, args.step)
@@ -240,6 +243,8 @@ def main():
         cfg.N_correction = args.n_correction
     if args.guidance_scale is not None:
         cfg.guidance_scale = args.guidance_scale
+    if args.dynamic_threshold is not None:
+        cfg.use_dynamic_threshold = args.dynamic_threshold == "on"
     out_dir = Path(args.model_dir) / "evaluation"
     i = 1
     while out_dir.exists():
