@@ -8,6 +8,9 @@ from physicsinformeddiffusionmodels_tpu.training.trainer import (
     make_device_resident_step,
     make_train_step,
 )
+from physicsinformeddiffusionmodels_tpu.training.shutdown import (
+    install_graceful_stop,
+)
 from physicsinformeddiffusionmodels_tpu.training.checkpoint import (
     latest_checkpoint,
     load_checkpoint,
@@ -23,6 +26,7 @@ __all__ = [
     "make_chunked_resident_step",
     "make_device_resident_step",
     "make_train_step",
+    "install_graceful_stop",
     "latest_checkpoint",
     "load_checkpoint",
     "restore_train_state",

@@ -44,6 +44,7 @@ from physicsinformeddiffusionmodels_tpu.training import (
     make_chunked_resident_step,
     make_device_resident_step,
     make_train_step,
+    install_graceful_stop,
     restore_train_state,
     save_checkpoint,
 )
@@ -293,6 +294,7 @@ def run_darcy(cfg: RunConfig):
     sample_fn = make_sample_fn(model, sched, physics, cfg)
 
     logger = MetricsLogger(str(out_dir), run_name=cfg.name)
+    should_stop = install_graceful_stop()
 
     t0 = time.time()
     # one base key for the whole run: the per-step key derives inside the
@@ -376,6 +378,15 @@ def run_darcy(cfg: RunConfig):
                 opt_state=state.opt_state, config=dataclasses.asdict(cfg),
             )
             print(f"it {it}: sampled, residual mean {np.nanmean(res_b):.3e}")
+
+        if should_stop():
+            save_checkpoint(
+                out_dir / "model", it,
+                params=state.params, ema_params=state.ema_params,
+                opt_state=state.opt_state, config=dataclasses.asdict(cfg),
+            )
+            print(f"it {it}: checkpoint saved on shutdown request", flush=True)
+            break
 
         it += 1
 

@@ -51,6 +51,7 @@ from physicsinformeddiffusionmodels_tpu.training import (
     make_chunked_resident_step,
     make_device_resident_step,
     make_train_step,
+    install_graceful_stop,
     restore_train_state,
     save_checkpoint,
 )
@@ -233,6 +234,7 @@ def run_mechanics(cfg: RunConfig):
             )
 
     logger = MetricsLogger(str(out_dir), run_name=cfg.name)
+    should_stop = install_graceful_stop()
     t0 = time.time()
     key, train_key = jax.random.split(key)
     chunk = cfg.chunk_steps
@@ -308,6 +310,15 @@ def run_mechanics(cfg: RunConfig):
                 opt_state=state.opt_state, config=dataclasses.asdict(cfg),
             )
             print(f"it {it}: sampled; {metrics}")
+
+        if should_stop():
+            save_checkpoint(
+                out_dir / "model", it,
+                params=state.params, ema_params=state.ema_params,
+                opt_state=state.opt_state, config=dataclasses.asdict(cfg),
+            )
+            print(f"it {it}: checkpoint saved on shutdown request", flush=True)
+            break
 
         it += 1
 
