@@ -29,8 +29,11 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# no-metadata fallback only; newer sets (incl. all v2 data) carry a
+# scenarios.csv which takes precedence. Must mirror the round-robin defaults
+# of scripts/generate_mechanics_sets.py.
 LEVEL_FAMILIES = {
-    "test_level_1": ("cantilever",),
+    "test_level_1": ("cantilever", "edge_cantilever", "partial_clamp"),
     "test_level_2": ("cantilever_multiload", "bridge", "double_clamp"),
 }
 
