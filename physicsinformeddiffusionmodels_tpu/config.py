@@ -41,6 +41,12 @@ class RunConfig:
     train_iterations: int = 300_000
     train_batch_size: Optional[int] = None  # default depends on study/estimation
     lr: float = 1e-4
+    # 'constant' matches the reference recipe (`main.py:143,165`: Adam 1e-4,
+    # no decay). 'cosine' decays lr -> lr_final_frac*lr over train_iterations;
+    # an opt-in lever against the measured late-training sampled-residual
+    # degradation (results/darcy_300k: 2.8e-2 at 40k -> 7.8e-2 at 300k).
+    lr_schedule: str = "constant"  # 'constant' | 'cosine'
+    lr_final_frac: float = 0.1
     grad_clip: float = 1.0
     ema_decay: float = 0.99
     ema_start: int = 1000

@@ -25,11 +25,33 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def make_optimizer(learning_rate: float = 1e-4, grad_clip: float = 1.0):
-    """Adam + global-norm clipping (`main.py:143,165`)."""
+def make_optimizer(
+    learning_rate: float = 1e-4,
+    grad_clip: float = 1.0,
+    schedule: str = "constant",
+    total_steps: int = 0,
+    final_frac: float = 0.1,
+):
+    """Adam + global-norm clipping (`main.py:143,165`).
+
+    ``schedule='constant'`` is the reference recipe. ``'cosine'`` decays the
+    lr to ``final_frac*learning_rate`` over ``total_steps`` — opt-in; the
+    measured Darcy run degrades its sampled residual late in training under
+    the constant-lr recipe (results/darcy_300k).
+    """
+    if schedule == "constant":
+        lr = learning_rate
+    elif schedule == "cosine":
+        if total_steps <= 0:
+            raise ValueError("cosine lr schedule needs total_steps > 0")
+        lr = optax.cosine_decay_schedule(
+            learning_rate, total_steps, alpha=final_frac
+        )
+    else:
+        raise ValueError(f"unknown lr schedule: {schedule!r}")
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
-        optax.adam(learning_rate),
+        optax.adam(lr),
     )
 
 

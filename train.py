@@ -181,6 +181,11 @@ def main(argv=None):
                     help=">1: optimizer steps per device dispatch (lax.scan); "
                     "bit-identical stepping, amortises dispatch latency")
     ap.add_argument("--residual-grad-guidance", action="store_true")
+    ap.add_argument("--lr-schedule", default=None, choices=["constant", "cosine"],
+                    help="'constant' = reference recipe; 'cosine' decays to "
+                    "lr-final-frac*lr over the run (lever against late-"
+                    "training sampled-residual degradation)")
+    ap.add_argument("--lr-final-frac", type=float, default=None)
     ap.add_argument("--mesh-dp", type=int, default=None,
                     help="data-parallel mesh size (default: all devices / tp)")
     ap.add_argument("--mesh-tp", type=int, default=None,
@@ -206,6 +211,7 @@ def main(argv=None):
         ("compute_dtype", "compute_dtype"), ("pixels_per_dim", "pixels_per_dim"),
         ("no_samples", "no_samples"), ("chunk_steps", "chunk_steps"),
         ("mesh_dp", "mesh_dp"), ("mesh_tp", "mesh_tp"),
+        ("lr_schedule", "lr_schedule"), ("lr_final_frac", "lr_final_frac"),
     ]:
         v = getattr(args, k_arg)
         if v is not None:
@@ -267,7 +273,9 @@ def run_darcy(cfg: RunConfig):
         params = shard_params(params, mesh)
         print(f"mesh: {dict(mesh.shape)}")
 
-    tx = make_optimizer(cfg.lr, cfg.grad_clip)
+    tx = make_optimizer(cfg.lr, cfg.grad_clip, schedule=cfg.lr_schedule,
+                        total_steps=cfg.train_iterations,
+                        final_frac=cfg.lr_final_frac)
     state = create_train_state(params, tx)
     start_it = 0
     if cfg.resume:

@@ -207,7 +207,9 @@ def run_mechanics(cfg: RunConfig):
     if multi_device:
         params = shard_params(params, mesh)
 
-    tx = make_optimizer(cfg.lr, cfg.grad_clip)
+    tx = make_optimizer(cfg.lr, cfg.grad_clip, schedule=cfg.lr_schedule,
+                        total_steps=cfg.train_iterations,
+                        final_frac=cfg.lr_final_frac)
     state = create_train_state(params, tx)
     start_it = 0
     if cfg.resume:
@@ -352,6 +354,11 @@ if __name__ == "__main__":
     ap.add_argument("--tp-shard-activations", action="store_true",
                     help="with --mesh-tp>1: constrain wide-stage UNet "
                     "activations over 'tp' (real tensor parallelism)")
+    ap.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine"],
+                    help="'constant' = reference recipe; 'cosine' decays to "
+                    "lr-final-frac*lr over the run")
+    ap.add_argument("--lr-final-frac", type=float, default=0.1)
     ap.add_argument("--seq-parallel-attn", action="store_true",
                     help="with --mesh-tp>1: sequence-parallel linear "
                     "attention over 'tp'")
@@ -368,5 +375,6 @@ if __name__ == "__main__":
         mesh_dp=a.mesh_dp, mesh_tp=a.mesh_tp,
         tp_shard_activations=a.tp_shard_activations,
         seq_parallel_attn=a.seq_parallel_attn,
+        lr_schedule=a.lr_schedule, lr_final_frac=a.lr_final_frac,
     )
     run_mechanics(cfg)
