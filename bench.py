@@ -220,9 +220,12 @@ def run_measurement(args) -> dict:
         )
         cstate, *_ = build_darcy(args.batch, args.pixels, compute_dtype)
         chunked = make_chunked_resident_step(loss_fn, tx, args.batch, chunk)
-        cstate, caux = chunked(cstate, data, key)  # compile
+        # comparable sampling to the per-step path: >=2 warmup dispatches
+        # and enough timed dispatches to cover >= args.steps optimizer steps
+        for _ in range(2):
+            cstate, caux = chunked(cstate, data, key)
         jax.block_until_ready(caux.loss)
-        n_disp = max(2, args.steps // chunk)
+        n_disp = max(2, -(-args.steps // chunk))
         t0 = time.perf_counter()
         for _ in range(n_disp):
             cstate, caux = chunked(cstate, data, key)
@@ -254,6 +257,7 @@ def run_measurement(args) -> dict:
         "train_sps_chunked_path": (
             round(train_sps_chunked, 2) if train_sps_chunked else None
         ),
+        "chunk_steps": args.chunk_steps,
         "residual_evals_per_sec_per_chip": round(res_eps, 1),
         "batch": args.batch,
         "pixels": args.pixels,

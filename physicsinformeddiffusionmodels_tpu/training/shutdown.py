@@ -20,15 +20,17 @@ def install_graceful_stop(
 ) -> Callable[[], bool]:
     """Install one-shot handlers; returns ``should_stop()``.
 
-    First delivery of any of ``signals`` sets the flag and restores that
-    signal's previous handler (so a second delivery terminates normally).
+    First delivery of any of ``signals`` sets the flag and restores the
+    previous handlers for ALL installed signals, so a second signal of any
+    kind (e.g. SIGTERM then Ctrl-C during a stuck save) terminates normally.
     """
     state = {"stop": False}
     previous = {}
 
     def handler(signum, frame):
         state["stop"] = True
-        signal.signal(signum, previous[signum])
+        for s, prev in previous.items():
+            signal.signal(s, prev)
         print(
             f"signal {signal.Signals(signum).name}: finishing current step, "
             "saving checkpoint, then exiting (send again to force)",

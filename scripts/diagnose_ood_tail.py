@@ -46,6 +46,21 @@ def load_families(ddir: Path, level: str, n: int) -> list[str]:
         fams = [r["family"] for r in sorted(rows, key=lambda r: int(r["index"]))]
         if len(fams) >= n:
             return fams[:n]
+        print(
+            f"warning: {meta} has only {len(fams)} rows for {n} samples; "
+            "falling back to the v2 round-robin family guess",
+            file=sys.stderr,
+        )
+    else:
+        # Legacy (v1) sets carry no metadata and were NOT generated with the
+        # v2 family mix — a round-robin guess would mislabel most samples.
+        print(
+            f"warning: no scenarios.csv under {ddir}; family attribution "
+            "unavailable for legacy sets — labelling all samples 'unknown'. "
+            "Regenerate with scripts/generate_mechanics_sets.py for metadata.",
+            file=sys.stderr,
+        )
+        return ["unknown"] * n
     fams = LEVEL_FAMILIES[level]
     return [fams[i % len(fams)] for i in range(n)]
 

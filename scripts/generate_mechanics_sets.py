@@ -45,7 +45,8 @@ def generate_set(
     sparse-FEM SIMP path — the scenario construction, field assembly, and
     metadata are identical either way, so a set can be sharded across a busy
     accelerator and the host (``--start-index``; shard metadata files
-    ``scenarios_<start>.csv`` are merged by index with ``scenarios.csv``)."""
+    ``scenarios_<start>.csv`` are merged by index into ``scenarios.csv`` at
+    the end of every shard's generation — see ``merge_scenarios``)."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     idx, done = start_index, 0
@@ -93,7 +94,34 @@ def generate_set(
         fh.write("index,family,vf\n")
         for i, fam, v in meta:
             fh.write(f"{i},{fam},{v:.6f}\n")
+    merge_scenarios(out)
     print(f"  -> {n_samples} samples in {time.time() - t0:.1f}s", flush=True)
+
+
+def merge_scenarios(out_dir):
+    """Fold every ``scenarios_<start>.csv`` shard into ``scenarios.csv``.
+
+    Rows are keyed by sample index (later shards win on collision) and
+    written back sorted, so consumers (``diagnose_ood_tail.load_families``)
+    always see the complete per-sample family/vf metadata regardless of how
+    the set was sharded. Idempotent; shard files are kept as provenance."""
+    out = Path(out_dir)
+    rows = {}
+    main_csv = out / "scenarios.csv"
+    shards = sorted(out.glob("scenarios_*.csv"))
+    for path in ([main_csv] if main_csv.exists() else []) + shards:
+        with open(path) as fh:
+            next(fh)  # header
+            for line in fh:
+                i, fam, v = line.strip().split(",")
+                rows[int(i)] = (fam, v)
+    if not rows:
+        return
+    with open(main_csv, "w") as fh:
+        fh.write("index,family,vf\n")
+        for i in sorted(rows):
+            fam, v = rows[i]
+            fh.write(f"{i},{fam},{v}\n")
 
 
 def main():

@@ -24,10 +24,12 @@ def _load(name, path):
 diag = _load("diagnose_ood_tail", ROOT / "scripts" / "diagnose_ood_tail.py")
 
 
-def test_modulo_mapping_matches_generator_assignment():
+def test_modulo_mapping_matches_generator_assignment(tmp_path, capsys):
     """generate_mechanics_sets assigns families[(done+b) % len] with done
     counting over all prior samples — for any batch split that reduces to
-    index % len(families)."""
+    index % len(families). The round-robin guess only applies when a (short)
+    scenarios.csv proves v2 provenance; a set with NO metadata is legacy v1
+    and must not be guessed at."""
     families = ("cantilever_multiload", "bridge", "double_clamp")
     # simulate the generator's loop for an awkward batch split
     n, batch = 10, 4
@@ -38,8 +40,20 @@ def test_modulo_mapping_matches_generator_assignment():
         for b in range(nb):
             assigned.append(families[(done + b) % len(families)])
         done += nb
-    got = diag.load_families(Path("/nonexistent"), "test_level_2", n)
+    # v2 set with truncated metadata -> round-robin fallback
+    with open(tmp_path / "scenarios.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["index", "family", "vf"])
+        w.writerow([0, "cantilever_multiload", 0.4])
+    got = diag.load_families(tmp_path, "test_level_2", n)
     assert got == assigned
+
+
+def test_no_metadata_set_labelled_unknown(capsys):
+    """Legacy v1 sets (no scenarios.csv) were cantilever-only; the v2
+    round-robin guess would mislabel 2/3 of samples, so they get 'unknown'."""
+    got = diag.load_families(Path("/nonexistent"), "test_level_2", 6)
+    assert got == ["unknown"] * 6
 
 
 def test_scenarios_csv_preferred_over_modulo(tmp_path):
@@ -69,6 +83,12 @@ def test_report_end_to_end(tmp_path, monkeypatch, capsys):
     np.savetxt(edir / "residuals.csv", rng.uniform(0, 1e-3, n), delimiter=",")
     ddir = tmp_path / "data" / "test" / "test_level_2" / "fields"
     ddir.mkdir(parents=True)
+    fams = ("cantilever_multiload", "bridge", "double_clamp")
+    with open(ddir / "scenarios.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["index", "family", "vf"])
+        for i in range(n):
+            w.writerow([i, fams[i % 3], 0.3 + 0.03 * i])
     for i in range(n):
         arr = np.zeros((65, 65, 10), np.float32)
         arr[..., 0] = 0.3 + 0.03 * i  # vf channel

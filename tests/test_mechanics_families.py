@@ -100,3 +100,25 @@ def test_generate_set_shards_align_round_robin(tmp_path):
     assert got == {i: fams[i % len(fams)] for i in range(7)}
     sample = np.load(out / "5.npy")
     assert sample.shape == (9, 9, 10) and np.isfinite(sample).all()
+
+
+def test_merge_scenarios_folds_shards_into_main_csv(tmp_path):
+    """After any shard finishes, scenarios.csv must carry the union of all
+    shard rows sorted by index — consumers read only scenarios.csv."""
+    from generate_mechanics_sets import generate_set
+
+    fem = MechanicsFEM(8)
+    fams = IN_DIST_FAMILIES
+    rng = np.random.default_rng(0)
+    out = tmp_path / "fields"
+    generate_set(fem, None, out, 4, 2, fams, (0.4, 0.5), rng, n_iter=2)
+    generate_set(fem, None, out, 3, 2, fams, (0.4, 0.5), rng, n_iter=2,
+                 start_index=4)
+    rows = (out / "scenarios.csv").read_text().strip().splitlines()[1:]
+    got = {int(r.split(",")[0]): r.split(",")[1] for r in rows}
+    assert got == {i: fams[i % len(fams)] for i in range(7)}
+    # idempotent: re-merging changes nothing
+    from generate_mechanics_sets import merge_scenarios
+    before = (out / "scenarios.csv").read_text()
+    merge_scenarios(out)
+    assert (out / "scenarios.csv").read_text() == before

@@ -30,3 +30,22 @@ def test_sigint_also_covered():
         assert should_stop() is True
     finally:
         signal.signal(signal.SIGINT, prev)
+
+
+def test_first_signal_restores_all_handlers(capsys):
+    """SIGTERM followed by Ctrl-C (the common force-quit sequence during a
+    stuck save) must be a hard stop: the first delivery restores the previous
+    handlers for EVERY installed signal, not just the delivered one."""
+    prev_term = signal.getsignal(signal.SIGTERM)
+    prev_int = signal.getsignal(signal.SIGINT)
+    try:
+        should_stop = install_graceful_stop(
+            signals=(signal.SIGTERM, signal.SIGINT)
+        )
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert should_stop() is True
+        assert signal.getsignal(signal.SIGTERM) == prev_term
+        assert signal.getsignal(signal.SIGINT) == prev_int
+    finally:
+        signal.signal(signal.SIGTERM, prev_term)
+        signal.signal(signal.SIGINT, prev_int)

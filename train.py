@@ -179,7 +179,8 @@ def main(argv=None):
     ap.add_argument("--no-samples", type=int, default=None)
     ap.add_argument("--chunk-steps", type=int, default=None,
                     help=">1: optimizer steps per device dispatch (lax.scan); "
-                    "bit-identical stepping, amortises dispatch latency")
+                    "bit-identical stepping, amortises dispatch latency; "
+                    "single-device only (ignored with a warning on a mesh)")
     ap.add_argument("--residual-grad-guidance", action="store_true")
     ap.add_argument("--lr-schedule", default=None, choices=["constant", "cosine"],
                     help="'constant' = reference recipe; 'cosine' decays to "
@@ -298,6 +299,12 @@ def run_darcy(cfg: RunConfig):
                 loss_fn, tx, cfg.train_batch_size, cfg.chunk_steps,
                 ema_mu=cfg.ema_decay, ema_start=cfg.ema_start,
             )
+    elif cfg.chunk_steps > 1:
+        print(
+            f"warning: --chunk-steps {cfg.chunk_steps} is single-device only; "
+            "falling back to per-step dispatch on the mesh",
+            flush=True,
+        )
     eval_loss = jax.jit(lambda params, batch, key: loss_fn(params, batch, key, 0)[1])
     sample_fn = make_sample_fn(model, sched, physics, cfg)
 

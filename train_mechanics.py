@@ -234,6 +234,12 @@ def run_mechanics(cfg: RunConfig):
                 loss_fn, tx, cfg.train_batch_size, cfg.chunk_steps,
                 ema_mu=cfg.ema_decay, ema_start=cfg.ema_start,
             )
+    elif cfg.chunk_steps > 1:
+        print(
+            f"warning: --chunk-steps {cfg.chunk_steps} is single-device only; "
+            "falling back to per-step dispatch on the mesh",
+            flush=True,
+        )
 
     logger = MetricsLogger(str(out_dir), run_name=cfg.name)
     should_stop = install_graceful_stop()
@@ -346,7 +352,8 @@ if __name__ == "__main__":
     ap.add_argument("--no-samples", type=int, default=8)
     ap.add_argument("--chunk-steps", type=int, default=1,
                     help=">1: optimizer steps per device dispatch (lax.scan); "
-                    "bit-identical stepping, amortises dispatch latency")
+                    "bit-identical stepping, amortises dispatch latency; "
+                    "single-device only (ignored with a warning on a mesh)")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint of this run name")
     ap.add_argument("--mesh-dp", type=int, default=None)
