@@ -149,6 +149,10 @@ class StencilGradients:
         self.D0_2 = derivative_matrix(h, d0, 2, fd_acc, periodic, dtype)
         self.D1_1 = derivative_matrix(w, d1, 1, fd_acc, periodic, dtype)
         self.D1_2 = derivative_matrix(w, d1, 2, fd_acc, periodic, dtype)
+        # stacked [2N, N] operators: rows 0:N the first derivative, N:2N the
+        # second — one contraction yields both orders (see first_second_pair)
+        self.Dc0 = jnp.concatenate([self.D0_1, self.D0_2], axis=0)
+        self.Dc1 = jnp.concatenate([self.D1_1, self.D1_2], axis=0)
 
     @staticmethod
     def _apply_axis0(D, f):
@@ -172,6 +176,27 @@ class StencilGradients:
 
     def d_d01(self, f):
         return self._apply_axis1(self.D1_1, self._apply_axis0(self.D0_1, f))
+
+    def first_second_pair(self, f):
+        """All four (d1, d2) x (axis0, axis1) derivatives of ``f`` in two
+        MXU contractions instead of four.
+
+        The [2N, N] stacked operators turn each axis into a single matmul
+        whose output halves are the first and second derivative, so the
+        H-axis relayout (the expensive transpose on TPU — the W-axis
+        contraction is already minor-dim) happens once per axis instead of
+        once per operator. Returns (d_d0, d_d1, d_d00, d_d11).
+        """
+        n0 = self.D0_1.shape[0]
+        n1 = self.D1_1.shape[0]
+        a0 = jnp.einsum("ij,...jw->...iw", self.Dc0, f)
+        a1 = jnp.einsum("ij,...hj->...hi", self.Dc1, f)
+        return (
+            a0[..., :n0, :],
+            a1[..., :n1],
+            a0[..., n0:, :],
+            a1[..., n1:],
+        )
 
     def __call__(self, f, mode: str):
         if mode == "all":

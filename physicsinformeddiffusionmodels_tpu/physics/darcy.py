@@ -111,9 +111,16 @@ class DarcyResidual:
         p = x0_pred[..., 0]
         K = x0_pred[..., 1]
         g = self.grads
-        p_d0, p_d1 = g.d_d0(p), g.d_d1(p)
-        p_d00, p_d11 = g.d_d00(p), g.d_d11(p)
-        K_d0, K_d1 = g.d_d0(K), g.d_d1(K)
+        # whole derivative set in two stacked contractions: (p, K) ride the
+        # batch axis and each axis operator is [2H, H] (first+second rows),
+        # so the H-axis relayout happens once instead of three times; the
+        # unused K second derivatives are ~1% of the matmul flops, far below
+        # the transpose traffic they replace
+        pk = jnp.concatenate([p, K], axis=0)
+        d0, d1, d00, d11 = g.first_second_pair(pk)
+        p_d0, K_d0 = d0[:B], d0[B:]
+        p_d1, K_d1 = d1[:B], d1[B:]
+        p_d00, p_d11 = d00[:B], d11[:B]
 
         eq0 = (-K * p_d00 - K_d0 * p_d0) + (-K * p_d11 - K_d1 * p_d1) - self.f_s
 

@@ -55,6 +55,10 @@ def persist_run(src: Path, dst: Path) -> dict:
     for fname in ("config.json", "metrics.csv"):
         if (src / fname).exists():
             shutil.copy2(src / fname, dst / fname)
+    # diagnosis artifacts dropped at the run root (e.g. ood_tail_*.json)
+    for diag in sorted(src.glob("*.json")):
+        if diag.name != "config.json":
+            shutil.copy2(diag, dst / diag.name)
 
     for eval_dir in sorted(src.glob("evaluation*")):
         rel_eval = eval_dir.name
@@ -119,6 +123,12 @@ def main() -> None:
     )
     if not names:
         ap.error("give run names or --all")
+    # snapshot the latest on-chip bench capture alongside the run evidence
+    bench_cache = Path("BENCH_CACHE.json")
+    if bench_cache.exists():
+        dst_root.mkdir(parents=True, exist_ok=True)
+        shutil.copy2(bench_cache, dst_root / "BENCH_CACHE_snapshot.json")
+
     for name in names:
         src = src_root / name
         if not src.is_dir():

@@ -139,3 +139,16 @@ def test_mixed_derivative():
     F = np.outer(x, x)
     g = StencilGradients(n, n, d0=d, d1=d, fd_acc=2, dtype=jnp.float64)
     np.testing.assert_allclose(np.asarray(g.d_d01(F[None]))[0], 1.0, atol=1e-6)
+
+
+def test_first_second_pair_matches_individual_ops():
+    """The stacked [2N,N] contraction returns exactly the four individual
+    operator applications (same row dot products, fewer relayouts)."""
+    g = StencilGradients(9, 7, d0=0.3, d1=-0.5, fd_acc=2)
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.standard_normal((4, 9, 7)))
+    d0, d1, d00, d11 = g.first_second_pair(f)
+    np.testing.assert_allclose(d0, g.d_d0(f), rtol=1e-12)
+    np.testing.assert_allclose(d1, g.d_d1(f), rtol=1e-12)
+    np.testing.assert_allclose(d00, g.d_d00(f), rtol=1e-12)
+    np.testing.assert_allclose(d11, g.d_d11(f), rtol=1e-12)
