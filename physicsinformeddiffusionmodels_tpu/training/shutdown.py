@@ -30,7 +30,10 @@ def install_graceful_stop(
     def handler(signum, frame):
         state["stop"] = True
         for s, prev in previous.items():
-            signal.signal(s, prev)
+            # signal.signal() returns None for handlers installed outside
+            # Python; passing that back raises and would abort the restore
+            # of the remaining signals — fall back to the OS default
+            signal.signal(s, prev if prev is not None else signal.SIG_DFL)
         print(
             f"signal {signal.Signals(signum).name}: finishing current step, "
             "saving checkpoint, then exiting (send again to force)",

@@ -6,12 +6,13 @@ max 8.25). This tool attributes the tail: it joins each eval sample with its
 scenario family and volume fraction and prints median/mean/max per family
 and per vf bin, plus the worst offenders.
 
-Scenario family mapping: `scripts/generate_mechanics_sets.py` assigns
-families round-robin (`families[(done + b) % len(families)]` with done
-counting from 0), and both the generator's file names and
-`NpyFieldDataset`/`iter_batches` are strictly index-ordered — so sample i
-of test_level_2 belongs to family ood[i % 3]. If the set directory carries
-a `scenarios.csv` (newer generator runs), that metadata is used instead.
+Scenario family mapping comes from the set's `scenarios.csv` metadata
+(written by `scripts/generate_mechanics_sets.py`), keyed by sample index —
+both the generator's file names and `NpyFieldDataset`/`iter_batches` are
+strictly index-ordered. Samples without a metadata row (legacy v1 sets, or
+a truncated shard merge) are labelled 'unknown' with a loud warning; no
+family is ever guessed, since sets can be generated with custom family
+mixes.
 
 Usage:
     python scripts/diagnose_ood_tail.py --model-dir trained_models/mech_300k \
@@ -29,40 +30,32 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-# no-metadata fallback only; newer sets (incl. all v2 data) carry a
-# scenarios.csv which takes precedence. Must mirror the round-robin defaults
-# of scripts/generate_mechanics_sets.py.
-LEVEL_FAMILIES = {
-    "test_level_1": ("cantilever", "edge_cantilever", "partial_clamp"),
-    "test_level_2": ("cantilever_multiload", "bridge", "double_clamp"),
-}
-
 
 def load_families(ddir: Path, level: str, n: int) -> list[str]:
     meta = ddir / "scenarios.csv"
     if meta.exists():
         with open(meta) as f:
-            rows = list(csv.DictReader(f))
-        fams = [r["family"] for r in sorted(rows, key=lambda r: int(r["index"]))]
-        if len(fams) >= n:
-            return fams[:n]
-        print(
-            f"warning: {meta} has only {len(fams)} rows for {n} samples; "
-            "falling back to the v2 round-robin family guess",
-            file=sys.stderr,
-        )
-    else:
-        # Legacy (v1) sets carry no metadata and were NOT generated with the
-        # v2 family mix — a round-robin guess would mislabel most samples.
-        print(
-            f"warning: no scenarios.csv under {ddir}; family attribution "
-            "unavailable for legacy sets — labelling all samples 'unknown'. "
-            "Regenerate with scripts/generate_mechanics_sets.py for metadata.",
-            file=sys.stderr,
-        )
-        return ["unknown"] * n
-    fams = LEVEL_FAMILIES[level]
-    return [fams[i % len(fams)] for i in range(n)]
+            by_index = {int(r["index"]): r["family"] for r in csv.DictReader(f)}
+        missing = [i for i in range(n) if i not in by_index]
+        if missing:
+            # truncated/partial metadata (e.g. a shard mid-flight): use the
+            # rows we do have and label the gaps — never guess; the set may
+            # have been generated with a custom family mix
+            print(
+                f"warning: {meta} is missing {len(missing)} of {n} sample "
+                "rows; those samples are labelled 'unknown'",
+                file=sys.stderr,
+            )
+        return [by_index.get(i, "unknown") for i in range(n)]
+    # Legacy (v1) sets carry no metadata and were NOT generated with the
+    # v2 family mix — a round-robin guess would mislabel most samples.
+    print(
+        f"warning: no scenarios.csv under {ddir}; family attribution "
+        "unavailable for legacy sets — labelling all samples 'unknown'. "
+        "Regenerate with scripts/generate_mechanics_sets.py for metadata.",
+        file=sys.stderr,
+    )
+    return ["unknown"] * n
 
 
 def stats(x: np.ndarray) -> str:

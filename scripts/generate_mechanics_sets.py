@@ -89,8 +89,11 @@ def generate_set(
             meta.append((idx, fams[b], float(vf[b])))
             idx += 1
         done += nb
-    name = "scenarios.csv" if start_index == 0 else f"scenarios_{start_index}.csv"
-    with open(out / name, "w") as fh:
+    # Every shard (including start 0) writes its own scenarios_<start>.csv;
+    # scenarios.csv is purely a merge product, so concurrent shards never
+    # clobber each other's source rows and a stale shard from an earlier
+    # generation loses index collisions to fresher files (mtime order).
+    with open(out / f"scenarios_{start_index}.csv", "w") as fh:
         fh.write("index,family,vf\n")
         for i, fam, v in meta:
             fh.write(f"{i},{fam},{v:.6f}\n")
@@ -99,25 +102,45 @@ def generate_set(
 
 
 def merge_scenarios(out_dir):
-    """Fold every ``scenarios_<start>.csv`` shard into ``scenarios.csv``.
+    """Rebuild ``scenarios.csv`` from the ``scenarios_<start>.csv`` shards.
 
-    Rows are keyed by sample index (later shards win on collision) and
-    written back sorted, so consumers (``diagnose_ood_tail.load_families``)
-    always see the complete per-sample family/vf metadata regardless of how
-    the set was sharded. Idempotent; shard files are kept as provenance."""
+    Rows are keyed by sample index; shards are read oldest-first by mtime
+    (ties broken by numeric start), so on index collisions the most recently
+    written shard wins — a stale shard left by an earlier generation cannot
+    override freshly regenerated metadata. Legacy sets whose metadata lives
+    only in scenarios.csv (no shard files) are left untouched. Empty or
+    truncated shard files (a shard killed mid-write) are tolerated — their
+    rows are simply absent. Idempotent; shard files are kept as
+    provenance."""
     out = Path(out_dir)
-    rows = {}
+
+    def sort_key(p: Path):
+        try:
+            start = int(p.stem.split("_")[1])
+        except (IndexError, ValueError):
+            start = -1
+        return (p.stat().st_mtime, start)
+
+    shards = sorted(out.glob("scenarios_*.csv"), key=sort_key)
+    if not shards:
+        return
+    # existing scenarios.csv is the base (covers legacy sets whose shard-0
+    # metadata lives only there); shards override it in mtime order
     main_csv = out / "scenarios.csv"
-    shards = sorted(out.glob("scenarios_*.csv"))
+    rows = {}
     for path in ([main_csv] if main_csv.exists() else []) + shards:
         with open(path) as fh:
-            next(fh)  # header
             for line in fh:
-                i, fam, v = line.strip().split(",")
-                rows[int(i)] = (fam, v)
+                parts = line.strip().split(",")
+                if len(parts) != 3 or parts[0] == "index":
+                    continue  # header, blank, or truncated line
+                try:
+                    rows[int(parts[0])] = (parts[1], parts[2])
+                except ValueError:
+                    continue
     if not rows:
         return
-    with open(main_csv, "w") as fh:
+    with open(out / "scenarios.csv", "w") as fh:
         fh.write("index,family,vf\n")
         for i in sorted(rows):
             fam, v = rows[i]

@@ -24,29 +24,22 @@ def _load(name, path):
 diag = _load("diagnose_ood_tail", ROOT / "scripts" / "diagnose_ood_tail.py")
 
 
-def test_modulo_mapping_matches_generator_assignment(tmp_path, capsys):
-    """generate_mechanics_sets assigns families[(done+b) % len] with done
-    counting over all prior samples — for any batch split that reduces to
-    index % len(families). The round-robin guess only applies when a (short)
-    scenarios.csv proves v2 provenance; a set with NO metadata is legacy v1
-    and must not be guessed at."""
-    families = ("cantilever_multiload", "bridge", "double_clamp")
-    # simulate the generator's loop for an awkward batch split
-    n, batch = 10, 4
-    assigned = []
-    done = 0
-    while done < n:
-        nb = min(batch, n - done)
-        for b in range(nb):
-            assigned.append(families[(done + b) % len(families)])
-        done += nb
-    # v2 set with truncated metadata -> round-robin fallback
+def test_truncated_metadata_keeps_known_rows_pads_unknown(tmp_path, capsys):
+    """A truncated scenarios.csv (shard mid-flight / partial merge) must use
+    the rows it has and label the gaps 'unknown' — never guess a round-robin
+    mapping, since sets can be generated with custom --families mixes."""
+    n = 10
     with open(tmp_path / "scenarios.csv", "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["index", "family", "vf"])
         w.writerow([0, "cantilever_multiload", 0.4])
+        w.writerow([4, "bridge", 0.5])  # gap: indices 1-3 missing
     got = diag.load_families(tmp_path, "test_level_2", n)
-    assert got == assigned
+    expected = ["unknown"] * n
+    expected[0] = "cantilever_multiload"
+    expected[4] = "bridge"
+    assert got == expected
+    assert "missing 8 of 10" in capsys.readouterr().err
 
 
 def test_no_metadata_set_labelled_unknown(capsys):

@@ -144,7 +144,7 @@ def test_mixed_derivative():
 def test_first_second_pair_matches_individual_ops():
     """The stacked [2N,N] contraction returns exactly the four individual
     operator applications (same row dot products, fewer relayouts)."""
-    g = StencilGradients(9, 7, d0=0.3, d1=-0.5, fd_acc=2)
+    g = StencilGradients(9, 7, d0=0.3, d1=-0.5, fd_acc=2, dtype=jnp.float64)
     rng = np.random.default_rng(0)
     f = jnp.asarray(rng.standard_normal((4, 9, 7)))
     d0, d1, d00, d11 = g.first_second_pair(f)
