@@ -29,6 +29,10 @@ METRIC_CSVS = {
 }
 MAX_PNGS_PER_DIR = 4  # a few representative images, not the full dump
 
+# self-describing eval provenance (CLI settings + platform), written by the
+# round-4 eval harnesses next to each evaluation dir's metric CSVs
+KEEP_EXTRA = {"eval_settings.json"}
+
 
 def _summarise_csv(path: Path) -> dict | None:
     """Median/mean/max for a one-column metric CSV (NaNs excluded)."""
@@ -62,11 +66,19 @@ def persist_run(src: Path, dst: Path) -> dict:
 
     for eval_dir in sorted(src.glob("evaluation*")):
         rel_eval = eval_dir.name
+        settings = eval_dir / "eval_settings.json"
+        if settings.exists():
+            try:
+                summary["evaluations"].setdefault(rel_eval, {})["_settings"] = (
+                    json.loads(settings.read_text())
+                )
+            except Exception:
+                pass
         for sub in sorted(p for p in eval_dir.rglob("*") if p.is_file()):
             rel = sub.relative_to(eval_dir)
             if "sample_" in str(rel.parent):  # per-sample field dumps: skip
                 continue
-            keep = sub.name in METRIC_CSVS
+            keep = sub.name in METRIC_CSVS or sub.name in KEEP_EXTRA
             if sub.suffix == ".png":
                 # keep only the first few images per directory
                 n_kept = len(list((dst / rel_eval / rel.parent).glob("*.png"))) \
