@@ -387,10 +387,14 @@ def run_darcy(cfg: RunConfig):
                 for i, r in enumerate(res_b):
                     w.writerow([i, r])
                 w.writerow(["Mean", np.nanmean(res_b)])
+            # Intermediate saves skip optimizer state (halves the
+            # device->host checkpoint pull on tunneled chips); final and
+            # SIGTERM saves stay full so --resume restores exactly.
             save_checkpoint(
                 out_dir / "model", it,
                 params=state.params, ema_params=state.ema_params,
-                opt_state=state.opt_state, config=dataclasses.asdict(cfg),
+                opt_state=state.opt_state if it == cfg.train_iterations else None,
+                config=dataclasses.asdict(cfg),
             )
             print(f"it {it}: sampled, residual mean {np.nanmean(res_b):.3e}")
 

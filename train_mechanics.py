@@ -312,10 +312,18 @@ def run_mechanics(cfg: RunConfig):
                         title=f"eq: {res_b[s]:.2e}\nopt: {float(np.asarray(compliance)[s]):.2f}",
                     )
                     viz.save_csv(finals[s, :, :, c], str(step_dir / f"sample_{s}" / f"sample_{c}.csv"))
+            # Intermediate saves skip optimizer state: at unet_dim=128 the
+            # Adam moments double the checkpoint to 2.1 GB, and the
+            # device->host pull over a tunneled chip costs ~380 s per dump.
+            # Eval/diagnosis need params+EMA only; the final and
+            # SIGTERM saves below stay full so --resume restores exactly
+            # (restore_train_state falls back to a fresh optimizer if the
+            # newest checkpoint is a slim one).
             save_checkpoint(
                 out_dir / "model", it,
                 params=state.params, ema_params=state.ema_params,
-                opt_state=state.opt_state, config=dataclasses.asdict(cfg),
+                opt_state=state.opt_state if it == cfg.train_iterations else None,
+                config=dataclasses.asdict(cfg),
             )
             print(f"it {it}: sampled; {metrics}")
 
