@@ -59,6 +59,8 @@ def load_families(ddir: Path, level: str, n: int) -> list[str]:
 
 
 def stats(x: np.ndarray) -> str:
+    if len(x) == 0:
+        return "n=0 (empty bin)"
     return (f"median {np.median(x):7.4f}  mean {np.mean(x):7.4f}  "
             f"max {np.max(x):7.3f}  n={len(x)}")
 
@@ -79,11 +81,22 @@ def main():
 
     mdir = Path(args.model_dir)
     if args.eval_dir is None:
-        evals = sorted(mdir.glob("evaluation_*"),
-                       key=lambda p: int(p.name.split("_")[-1]))
-        if not evals:
-            sys.exit(f"no evaluation_* under {mdir}")
-        edir = evals[-1]
+        # candidates: bare `evaluation` plus `evaluation_<N>`; prefer the
+        # newest one that actually contains the requested level's CSVs
+        # (an interrupted sweep can leave an empty/partial dir behind)
+        def order(p: Path) -> int:
+            tail = p.name.split("_")[-1]
+            return int(tail) if tail.isdigit() else -1
+        evals = sorted(
+            (p for p in mdir.glob("evaluation*") if p.is_dir()), key=order
+        )
+        complete = [p for p in evals if (p / args.level / "rel_CE_error.csv").exists()]
+        if not complete:
+            sys.exit(
+                f"no evaluation dir under {mdir} contains "
+                f"{args.level}/rel_CE_error.csv (found: {[p.name for p in evals]})"
+            )
+        edir = complete[-1]
     else:
         edir = mdir / args.eval_dir
     ldir = edir / args.level
@@ -111,6 +124,8 @@ def main():
     edges = np.quantile(vf, [0, 0.25, 0.5, 0.75, 1.0])
     for lo, hi in zip(edges[:-1], edges[1:]):
         m = (vf >= lo) & (vf <= hi)
+        if not m.any():
+            continue
         lines.append(f"- vf [{lo:.3f}, {hi:.3f}]  rel_CE {stats(ce[m])}")
     lines.append("")
     thresh = float(np.quantile(ce, args.tail_q))
@@ -126,10 +141,13 @@ def main():
             f"| {int(fm[i])} | {res[i]:.2e} |")
     # tail composition summary
     lines.append("")
-    fam_counts = {f: sum(1 for i in tail if fams[i] == f) for f in set(fams)}
-    lines.append(f"Tail composition: {fam_counts}; "
-                 f"fm rate in tail {fm[tail].mean():.2f} vs overall {fm.mean():.2f}; "
-                 f"mean vf in tail {vf[tail].mean():.3f} vs overall {vf.mean():.3f}")
+    if len(tail) == 0:
+        lines.append("(no samples above the tail threshold)")
+    else:
+        fam_counts = {f: sum(1 for i in tail if fams[i] == f) for f in set(fams)}
+        lines.append(f"Tail composition: {fam_counts}; "
+                     f"fm rate in tail {fm[tail].mean():.2f} vs overall {fm.mean():.2f}; "
+                     f"mean vf in tail {vf[tail].mean():.3f} vs overall {vf.mean():.3f}")
 
     report = "\n".join(lines) + "\n"
     print(report)

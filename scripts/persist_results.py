@@ -31,7 +31,7 @@ MAX_PNGS_PER_DIR = 4  # a few representative images, not the full dump
 
 # self-describing eval provenance (CLI settings + platform), written by the
 # round-4 eval harnesses next to each evaluation dir's metric CSVs
-KEEP_EXTRA = {"eval_settings.json"}
+KEEP_EXTRA = {"eval_settings.json", "ood_tail_report.md"}
 
 
 def _summarise_csv(path: Path) -> dict | None:
