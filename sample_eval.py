@@ -46,6 +46,15 @@ def load_run(model_dir: str, step: int | None):
     if path is None or not Path(path).exists():
         raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
     raw = load_checkpoint(path)
+    # portable (git-committable) exports store EMA weights as float16
+    # (scripts/export_portable_checkpoint.py); restore them to float32 so
+    # evaluation runs in the trained regime
+    raw = jax.tree_util.tree_map(
+        lambda x: x.astype(np.float32)
+        if hasattr(x, "dtype") and x.dtype == np.float16
+        else x,
+        raw,
+    )
     print(f"Checkpoint loaded from {path}")
     return cfg, raw
 
