@@ -67,6 +67,10 @@ def export(model_dir: Path, out: Path, step: int | None) -> Path:
         "opt_state": {},
     }
     (out / "model").mkdir(parents=True, exist_ok=True)
+    # a portable dir holds exactly one checkpoint: drop stale exports so
+    # re-exporting a longer run doesn't accumulate large binaries
+    for stale in (out / "model").glob("checkpoint_*.msgpack"):
+        stale.unlink()
     dst = out / "model" / f"checkpoint_{step_out}.msgpack"
     dst.write_bytes(serialization.msgpack_serialize(payload))
     shutil.copy2(model_dir / "config.json", out / "config.json")
