@@ -1,0 +1,100 @@
+#!/bin/bash
+# Round-5 chip agenda, in priority order (see VERDICT.md round-3/4 asks).
+# Run from the repo root at round start:
+#   nohup bash scripts/round5_chip_queue.sh > /tmp/r5queue.log 2>&1 &
+#   echo $! > /tmp/r5queue.pid
+#
+# Each stage regenerates missing data, trains/evaluates on the chip,
+# persists evidence into git-tracked results/ and commits — so a crash at
+# any point loses at most the in-flight stage. Stages are skipped when
+# their results directory already exists (safe to re-run).
+#
+# Ops invariants (docs/OPERATIONS.md): 1-core box -> pin BLAS threads for
+# host jobs; trained_models/ and data/ are wiped at round boundaries ->
+# never let a README claim rest on them; chip is tunneled -> first compile
+# of a big program can block ~8 min with low CPU (not a hang).
+set -u
+cd "$(dirname "$0")/.."
+log() { echo "$(date -u +%H:%M:%S) $*"; }
+HOSTENV="OMP_NUM_THREADS=1 OPENBLAS_NUM_THREADS=1 MKL_NUM_THREADS=1"
+
+stage_done() { [ -d "results/$1" ] && [ -f "results/$1/summary.json" ]; }
+persist_and_commit() {  # $1 = run name, $2 = commit message
+  python scripts/export_portable_checkpoint.py --model-dir "trained_models/$1" \
+    --out "results/$1/portable" || true
+  python scripts/persist_results.py "$1"
+  git add "results/$1" && git commit -q -m "$2"
+}
+
+# ---- stage 0: data ---------------------------------------------------------
+if [ ! -f data/darcy/train/K_data.csv ]; then
+  log "stage 0a: regenerating Darcy data (10k train / 256 valid, ~13 min)"
+  env $HOSTENV python scripts/generate_darcy_data.py --n-samples 10000 --out ./data/darcy/train
+  env $HOSTENV python scripts/generate_darcy_data.py --n-samples 256 --out ./data/darcy/valid
+fi
+if [ ! -d data/mechanics/test/test_level_2/fields ]; then
+  log "stage 0b: regenerating mechanics sets (TPU SIMP, ~35 min)"
+  timeout 3600 python scripts/generate_mechanics_sets.py
+fi
+
+# ---- stage 1: Darcy cosine 300k A/B (drift fix) ----------------------------
+# VERDICT r3 #2: done = a 300k checkpoint whose sampled residual <= the 40k
+# value (~2.8e-2), or ablation data. Constant-lr root cause: docs/DARCY_DRIFT.md.
+if ! stage_done darcy_300k_cosine; then
+  log "stage 1: darcy cosine 300k (~2.4 h)"
+  timeout 12600 python train.py --gov-eqs darcy --name darcy_300k_cosine \
+    --iterations 300000 --lr-schedule cosine --chunk-steps 20 \
+    --sample-freq 20000 --no-samples 8 --resume
+  # n>=64 headline evals (VERDICT r3 #3) at the drift-critical steps
+  for st in 40000 100000 300000; do
+    [ -f trained_models/darcy_300k_cosine/model/checkpoint_${st}.msgpack ] && \
+      timeout 900 python sample_eval.py --model-dir trained_models/darcy_300k_cosine \
+        --step $st --no-samples 64
+  done
+  persist_and_commit darcy_300k_cosine \
+    "Darcy cosine-lr 300k A/B: n=64 sampled-residual evals at 40k/100k/300k"
+fi
+
+# ---- stage 2: DDIM sample-estimation at depth (VERDICT r3 #8) --------------
+if ! stage_done darcy_sample_100k; then
+  log "stage 2: DDIM sample-estimation 100k (~50 min)"
+  timeout 5400 python train.py --gov-eqs darcy --name darcy_sample_100k \
+    --iterations 100000 --x0-estimation sample \
+    --chunk-steps 20 --sample-freq 20000 --no-samples 8 --resume
+  timeout 900 python sample_eval.py --model-dir trained_models/darcy_sample_100k --no-samples 64
+  persist_and_commit darcy_sample_100k \
+    "DDIM sample-estimation at 100k: n=64 eval evidence"
+fi
+
+# ---- stage 3: guided retrain at depth (VERDICT r3 #4 follow-through) -------
+if ! stage_done darcy_guided_100k; then
+  log "stage 3: residual-grad-guidance 100k (~50 min)"
+  timeout 5400 python train.py --gov-eqs darcy --name darcy_guided_100k \
+    --iterations 100000 --residual-grad-guidance \
+    --chunk-steps 20 --sample-freq 20000 --no-samples 8 --resume
+  # operating-point eval (scale 1.0, docs/GUIDANCE_DIAGNOSIS.md) + reference default
+  timeout 900 python sample_eval.py --model-dir trained_models/darcy_guided_100k \
+    --no-samples 64 --guidance-scale 1.0
+  timeout 900 python sample_eval.py --model-dir trained_models/darcy_guided_100k \
+    --no-samples 64 --guidance-scale 3.0
+  persist_and_commit darcy_guided_100k \
+    "Guided 100k: n=64 evals at scale 1.0 (operating point) and 3.0 (reference default)"
+fi
+
+# ---- stage 4: mechanics inference-time ablations on the committed 600k ----
+# Uses the PORTABLE checkpoint under results/ (survives the boundary);
+# cheap chip work: correction + dynamic-threshold levers against the OOD tail.
+if [ -d results/mech_600k/portable ] && [ ! -d results/mech_600k/portable/evaluation ]; then
+  log "stage 4: mechanics OOD-tail inference ablations"
+  timeout 3600 python sample_eval.py --model-dir results/mech_600k/portable \
+    --no-samples 8 --correction-mode xt --n-correction 3 --m-correction 3
+  timeout 900 python scripts/diagnose_ood_tail.py --model-dir results/mech_600k/portable || true
+  git add results/mech_600k && git commit -q -m "Mechanics 600k: CoCoGen-correction ablation on the OOD sweep"
+fi
+
+# ---- stage 5: bench recapture ----------------------------------------------
+log "stage 5: bench"
+python bench.py || true
+python scripts/persist_results.py --all || true
+git add results/ && git commit -q -m "Round-5 queue: final evidence persist" || true
+log "queue complete"
