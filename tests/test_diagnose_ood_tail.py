@@ -98,3 +98,61 @@ def test_report_end_to_end(tmp_path, monkeypatch, capsys):
     assert "cantilever_multiload" in report  # per-family section covers all
     # planted sample's vf = 0.3 + 0.03*7
     assert "0.510" in report
+
+
+def _write_eval_csvs(edir, ce, vf_seed=1):
+    n = len(ce)
+    rng = np.random.default_rng(vf_seed)
+    edir.mkdir(parents=True, exist_ok=True)
+    np.savetxt(edir / "rel_CE_error.csv", ce, delimiter=",")
+    np.savetxt(edir / "rel_vf_error.csv", rng.uniform(0, 0.02, n), delimiter=",")
+    np.savetxt(edir / "fm_error.csv", np.zeros(n), delimiter=",")
+    np.savetxt(edir / "residuals.csv", rng.uniform(0, 1e-3, n), delimiter=",")
+
+
+def _write_data(ddir, n, vf_const=None):
+    ddir.mkdir(parents=True, exist_ok=True)
+    with open(ddir / "scenarios.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["index", "family", "vf"])
+        for i in range(n):
+            w.writerow([i, "bridge", 0.4])
+    for i in range(n):
+        arr = np.zeros((65, 65, 10), np.float32)
+        arr[..., 0] = vf_const if vf_const is not None else 0.3 + 0.01 * i
+        np.save(ddir / f"{i}.npy", arr)
+
+
+def test_degenerate_vf_and_tiny_n_no_crash(tmp_path, monkeypatch):
+    """n=2 with identical vf values makes every quantile edge equal; the
+    empty bins and a possibly-empty tail must be skipped, not crash
+    (regression: np.max on a zero-size array killed the unattended run)."""
+    edir = tmp_path / "run" / "evaluation_1" / "test_level_2"
+    _write_eval_csvs(edir, np.array([0.02, 0.02]))
+    _write_data(tmp_path / "data" / "test" / "test_level_2" / "fields", 2,
+                vf_const=0.35)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["diagnose_ood_tail.py", "--model-dir", str(tmp_path / "run"),
+         "--data-root", str(tmp_path / "data")],
+    )
+    diag.main()
+    assert (edir / "ood_tail_report.md").exists()
+
+
+def test_eval_dir_selection_skips_incomplete(tmp_path, monkeypatch):
+    """An interrupted sweep leaves an empty evaluation_<N>; auto-selection
+    must fall back to the newest dir that HAS the level CSVs — including a
+    bare 'evaluation' dir (the first sweep of a run)."""
+    run = tmp_path / "run"
+    edir = run / "evaluation" / "test_level_2"
+    _write_eval_csvs(edir, np.array([0.02, 0.03, 0.8]))
+    (run / "evaluation_1").mkdir(parents=True)  # empty: interrupted sweep
+    _write_data(tmp_path / "data" / "test" / "test_level_2" / "fields", 3)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["diagnose_ood_tail.py", "--model-dir", str(run),
+         "--data-root", str(tmp_path / "data")],
+    )
+    diag.main()
+    assert (edir / "ood_tail_report.md").exists()
