@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import argparse
 import csv
+import json
+import sys
 import time
 from pathlib import Path
 
@@ -260,6 +262,27 @@ def main():
         out_dir = Path(args.model_dir) / f"evaluation_{i}"
         i += 1
     out_dir.mkdir(parents=True)
+
+    # self-describing provenance next to the metric CSVs: the exact settings
+    # this sweep ran with (persist_results.py carries it into results/)
+    dev = jax.devices()[0]
+    (out_dir / "eval_settings.json").write_text(json.dumps({
+        "argv": sys.argv[1:],
+        "model_dir": args.model_dir,
+        "checkpoint_step": int(raw["step"]) if raw.get("step") is not None else None,
+        "no_samples": args.no_samples,
+        "test_batches": args.test_batches,
+        "seed": args.seed,
+        "correction_mode": cfg.correction_mode,
+        "M_correction": cfg.M_correction,
+        "N_correction": cfg.N_correction,
+        "guidance_scale": cfg.guidance_scale,
+        "use_dynamic_threshold": cfg.use_dynamic_threshold,
+        "compute_dtype": cfg.compute_dtype,
+        "platform": dev.platform,
+        "device_kind": dev.device_kind,
+        "n_devices": jax.device_count(),
+    }, indent=2) + "\n")
 
     if cfg.gov_eqs == "darcy":
         eval_darcy(cfg, raw, out_dir, args.no_samples, args.create_gif, args.seed)

@@ -56,13 +56,19 @@ def persist_run(src: Path, dst: Path) -> dict:
     dst.mkdir(parents=True, exist_ok=True)
     summary: dict = {"run": src.name, "evaluations": {}}
 
+    def _copy(a: Path, b: Path) -> None:
+        # tolerate in-place summarization (src == dst, e.g. re-summarising a
+        # results/<run> dir after an eval wrote directly into it)
+        if a.resolve() != b.resolve():
+            shutil.copy2(a, b)
+
     for fname in ("config.json", "metrics.csv"):
         if (src / fname).exists():
-            shutil.copy2(src / fname, dst / fname)
+            _copy(src / fname, dst / fname)
     # diagnosis artifacts dropped at the run root (e.g. ood_tail_*.json)
     for diag in sorted(src.glob("*.json")):
-        if diag.name != "config.json":
-            shutil.copy2(diag, dst / diag.name)
+        if diag.name not in ("config.json", "summary.json"):
+            _copy(diag, dst / diag.name)
 
     for eval_dir in sorted(src.glob("evaluation*")):
         rel_eval = eval_dir.name
@@ -88,7 +94,7 @@ def persist_run(src: Path, dst: Path) -> dict:
                 continue
             out = dst / rel_eval / rel
             out.parent.mkdir(parents=True, exist_ok=True)
-            shutil.copy2(sub, out)
+            _copy(sub, out)
             if sub.name in METRIC_CSVS and sub.name != "sample_statistics.csv":
                 stats = _summarise_csv(sub)
                 if stats is not None:
