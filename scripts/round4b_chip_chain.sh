@@ -95,6 +95,17 @@ JAX_PLATFORMS=cpu OMP_NUM_THREADS=1 timeout 3600 python scripts/diagnose_darcy_d
   --model-dir trained_models/darcy_300k_cosine \
   --out trained_models/darcy_300k_cosine/drift_diagnosis.json || true
 python scripts/persist_results.py darcy_300k_cosine
+# if the run was cut short, commit a FULL resume checkpoint (params+EMA+opt)
+# so round 5's queue continues instead of restarting (stage-1 resume hook)
+last_it=$(tail -2 trained_models/darcy_300k_cosine/metrics.csv 2>/dev/null | head -1 | cut -d, -f1)
+if [ "${last_it:-0}" -lt 300000 ] 2>/dev/null; then
+  rm -rf results/darcy_300k_cosine/resume
+  mkdir -p results/darcy_300k_cosine/resume/model
+  latest=$(ls -v trained_models/darcy_300k_cosine/model/checkpoint_*.msgpack 2>/dev/null | tail -1)
+  [ -n "$latest" ] && cp "$latest" results/darcy_300k_cosine/resume/model/
+  cp trained_models/darcy_300k_cosine/config.json results/darcy_300k_cosine/resume/ 2>/dev/null || true
+  cp trained_models/darcy_300k_cosine/metrics.csv results/darcy_300k_cosine/resume/ 2>/dev/null || true
+fi
 git add results/darcy_300k_cosine
 git commit -q -m "Darcy cosine-lr 300k A/B: n=64 sampled-residual evals across the checkpoint ladder" || true
 log "chain complete"

@@ -40,8 +40,21 @@ fi
 # ---- stage 1: Darcy cosine 300k A/B (drift fix) ----------------------------
 # VERDICT r3 #2: done = a 300k checkpoint whose sampled residual <= the 40k
 # value (~2.8e-2), or ablation data. Constant-lr root cause: docs/DARCY_DRIFT.md.
-if ! stage_done darcy_300k_cosine; then
+# "Done" requires the run to have actually REACHED 300k — a round-4 partial
+# run persists its evidence (and a full resume checkpoint under
+# results/darcy_300k_cosine/resume/) without finishing.
+cosine_reached() {
+  [ -f results/darcy_300k_cosine/metrics.csv ] && \
+    awk -F, 'NR>1 && $1+0 >= 300000 {found=1} END {exit !found}' \
+      results/darcy_300k_cosine/metrics.csv
+}
+if ! cosine_reached; then
   log "stage 1: darcy cosine 300k (~2.4 h)"
+  # continue a committed partial run if one exists (full state incl. optimizer)
+  if [ -d results/darcy_300k_cosine/resume ] && [ ! -d trained_models/darcy_300k_cosine ]; then
+    mkdir -p trained_models/darcy_300k_cosine
+    cp -r results/darcy_300k_cosine/resume/* trained_models/darcy_300k_cosine/
+  fi
   timeout 12600 python train.py --gov-eqs darcy --name darcy_300k_cosine \
     --iterations 300000 --lr-schedule cosine --chunk-steps 20 \
     --sample-freq 20000 --no-samples 8 --resume
