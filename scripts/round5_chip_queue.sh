@@ -18,7 +18,27 @@ cd "$(dirname "$0")/.."
 log() { echo "$(date -u +%H:%M:%S) $*"; }
 HOSTENV="OMP_NUM_THREADS=1 OPENBLAS_NUM_THREADS=1 MKL_NUM_THREADS=1"
 
-stage_done() { [ -d "results/$1" ] && [ -f "results/$1/summary.json" ]; }
+# A stage is done only when its persisted metrics reached the target
+# iteration — the insurance watcher writes summary.json for PARTIAL runs
+# every 15 min, so summary existence alone would skip a half-trained model
+# after a mid-stage crash. A committed partial run is continued via the
+# resume hook below, not skipped.
+stage_done() {  # $1 = run name, $2 = target iteration
+  [ -f "results/$1/summary.json" ] && \
+    awk -F, -v t="$2" 'NR>1 && $1+0 >= t {f=1} END {exit !f}' \
+      "results/$1/metrics.csv" 2>/dev/null
+}
+# continue a committed partial run when trained_models/ was wiped. Only a
+# full-state resume/ export qualifies (params+EMA+optimizer); the portable
+# f16 EMA-only checkpoint is for evaluation, never for resuming training.
+restore_resume() {  # $1 = run name
+  if [ ! -d "trained_models/$1" ] && [ -d "results/$1/resume/model" ]; then
+    mkdir -p "trained_models/$1"
+    cp -r "results/$1/resume"/* "trained_models/$1/"
+    [ -f "results/$1/metrics.csv" ] && \
+      cp "results/$1/metrics.csv" "trained_models/$1/metrics.csv"
+  fi
+}
 persist_and_commit() {  # $1 = run name, $2 = commit message
   python scripts/export_portable_checkpoint.py --model-dir "trained_models/$1" \
     --out "results/$1/portable" || true
@@ -69,7 +89,8 @@ if ! cosine_reached; then
 fi
 
 # ---- stage 2: DDIM sample-estimation at depth (VERDICT r3 #8) --------------
-if ! stage_done darcy_sample_100k; then
+if ! stage_done darcy_sample_100k 100000; then
+  restore_resume darcy_sample_100k
   log "stage 2: DDIM sample-estimation 100k (~50 min)"
   timeout 5400 python train.py --gov-eqs darcy --name darcy_sample_100k \
     --iterations 100000 --x0-estimation sample \
@@ -80,7 +101,8 @@ if ! stage_done darcy_sample_100k; then
 fi
 
 # ---- stage 3: guided retrain at depth (VERDICT r3 #4 follow-through) -------
-if ! stage_done darcy_guided_100k; then
+if ! stage_done darcy_guided_100k 100000; then
+  restore_resume darcy_guided_100k
   log "stage 3: residual-grad-guidance 100k (~50 min)"
   timeout 5400 python train.py --gov-eqs darcy --name darcy_guided_100k \
     --iterations 100000 --residual-grad-guidance \
@@ -97,7 +119,9 @@ fi
 # ---- stage 4: mechanics inference-time ablations on the committed 600k ----
 # Uses the PORTABLE checkpoint under results/ (survives the boundary);
 # cheap chip work: correction + dynamic-threshold levers against the OOD tail.
-if [ -d results/mech_600k/portable ] && [ ! -d results/mech_600k/portable/evaluation ]; then
+if [ -d results/mech_600k/portable ] && \
+   ! grep -rl '"correction_mode": "xt"' \
+       results/mech_600k/evaluation*/eval_settings.json >/dev/null 2>&1; then
   log "stage 4: mechanics OOD-tail inference ablations"
   timeout 3600 python sample_eval.py --model-dir results/mech_600k/portable \
     --no-samples 8 --correction-mode xt --n-correction 3 --m-correction 3
