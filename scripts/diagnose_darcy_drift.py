@@ -67,6 +67,13 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--t-grid", type=int, nargs="*", default=[5, 25, 50, 75, 95])
+    ap.add_argument(
+        "--data-split",
+        choices=["valid", "train"],
+        default="valid",
+        help="which dataset the fixed eval batch is drawn from; a residual "
+        "that stays flat on train while growing on valid pins overfitting",
+    )
     args = ap.parse_args()
 
     import train as train_mod
@@ -90,8 +97,11 @@ def main() -> None:
         domain_length=cfg.domain_length,
     )
 
-    valid = load_darcy_dataset(cfg.valid_data_dir or cfg.data_dir)
-    batch = jnp.asarray(np.stack([valid[i] for i in range(args.batch)]))
+    if args.data_split == "train":
+        data = load_darcy_dataset(cfg.data_dir)
+    else:
+        data = load_darcy_dataset(cfg.valid_data_dir or cfg.data_dir)
+    batch = jnp.asarray(np.stack([data[i] for i in range(args.batch)]))
     P = cfg.pixels_per_dim
     template = model.init(
         jax.random.key(0), jnp.zeros((1, P, P, cfg.model_channels)), jnp.zeros((1,), jnp.int32)
@@ -104,7 +114,9 @@ def main() -> None:
         t = jnp.full((batch.shape[0],), t_scalar, jnp.int32)
         x_t = q_sample(sched, batch, t, noise)
         x0_pred = model.apply(params, x_t, t)
-        return jnp.abs(physics.residual(x0_pred)[..., 0]).mean()
+        res = jnp.abs(physics.residual(x0_pred)[..., 0]).mean()
+        mse = jnp.mean(jnp.square(x0_pred - batch))
+        return res, mse
 
     ladder = sorted(
         mdir.glob("model/checkpoint_*.msgpack"),
@@ -126,10 +138,13 @@ def main() -> None:
             "ema_l2": tree_l2(ema) if ema is not None else None,
             "raw_ema_dist": tree_dist(params, ema) if ema is not None else None,
             "residual_by_t": {},
+            "data_mse_by_t": {},
         }
         eval_params = ema if ema is not None else params
         for t in args.t_grid:
-            row["residual_by_t"][str(t)] = float(residual_at_t(eval_params, t))
+            res, mse = residual_at_t(eval_params, t)
+            row["residual_by_t"][str(t)] = float(res)
+            row["data_mse_by_t"][str(t)] = float(mse)
         rows.append(row)
         print(
             f"step {step:>7}: |theta|={row['param_l2']:.1f} "
@@ -138,10 +153,20 @@ def main() -> None:
             flush=True,
         )
 
-    out = args.out or str(mdir / "drift_diagnosis.json")
+    suffix = "" if args.data_split == "valid" else f"_{args.data_split}"
+    out = args.out or str(mdir / f"drift_diagnosis{suffix}.json")
     Path(out).parent.mkdir(parents=True, exist_ok=True)
     with open(out, "w") as fh:
-        json.dump({"model_dir": str(mdir), "batch": args.batch, "rows": rows}, fh, indent=2)
+        json.dump(
+            {
+                "model_dir": str(mdir),
+                "batch": args.batch,
+                "data_split": args.data_split,
+                "rows": rows,
+            },
+            fh,
+            indent=2,
+        )
     print(f"wrote {out}")
 
 

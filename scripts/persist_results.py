@@ -156,6 +156,8 @@ def main() -> None:
         print(f"persisted {name} -> {dst_root / name}")
         for ev, metrics in summary["evaluations"].items():
             for k, s in metrics.items():
+                if not isinstance(s, dict) or "n" not in s:
+                    continue  # _settings provenance entry
                 print(
                     f"  {ev}/{k}: n={s['n']} median={s['median']:.4g} "
                     f"mean={s['mean']:.4g} max={s['max']:.4g}"
