@@ -6,7 +6,8 @@ cosine run even at lr ~1e-5, and the drift appears on train inputs as much
 as valid ones — so it is neither overfitting nor the bare Adam-tail norm
 walk. The remaining mechanism suspects are (a) bf16 activation precision
 corrupting the gradient of the stiff two-derivative-order FD residual term
-(the torch reference trains fp32, `/root/reference/README.md:56`), and
+(the torch reference trains fp32 — torch default dtype, no autocast
+anywhere in `/root/reference/src`), and
 (b) the sigma_t^-2 likelihood weighting making small-t residual gradients
 heavy-tailed regardless of precision.
 
