@@ -1,0 +1,93 @@
+"""Summarize the Darcy drift dtype A/B into a verdict JSON.
+
+Both arms (results/darcy_ab_bf16, results/darcy_ab_fp32) resume the same
+darcy_300k_cosine it-100k checkpoint for 50k steps, differing only in
+compute dtype (docs/DARCY_DRIFT.md). This script reads each arm's fp32 CPU
+ladder diagnosis (drift_diagnosis.json: x0-prediction PDE residual at fixed
+t on a fixed batch) and decides:
+
+  bf16_causal      — bf16 arm re-drifts (endpoint/start >= DRIFT_RATIO)
+                     while fp32 stays flat (< FLAT_RATIO)
+  both_drift       — precision ruled out; suspect the loss landscape
+  neither_drifts   — drift not reproduced over this window (inconclusive;
+                     the original runs only show clear drift by ~160k)
+  mixed            — anything else (e.g. fp32 drifts, bf16 flat)
+
+Writes results/dtype_ab_verdict.json and prints a human table.
+
+Usage:
+    python scripts/compare_dtype_ab.py [--t 25] [--out results/dtype_ab_verdict.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+DRIFT_RATIO = 1.25  # endpoint/start above this = the arm drifted
+FLAT_RATIO = 1.10   # endpoint/start below this = the arm held flat
+
+
+def load_arm(results_dir: Path, t: str):
+    diag = results_dir / "drift_diagnosis.json"
+    if not diag.exists():
+        return None
+    rows = json.loads(diag.read_text())["rows"]
+    rows = sorted(rows, key=lambda r: r["step"])
+    if len(rows) < 2:
+        return None
+    return {
+        "steps": [r["step"] for r in rows],
+        "residual": [r["residual_by_t"][t] for r in rows],
+        "param_l2": [r["param_l2"] for r in rows],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--t", default="25", help="noise level column to judge on")
+    ap.add_argument("--results-root", default="results")
+    ap.add_argument("--out", default="results/dtype_ab_verdict.json")
+    args = ap.parse_args()
+
+    root = Path(args.results_root)
+    arms = {}
+    for arm in ("bf16", "fp32"):
+        a = load_arm(root / f"darcy_ab_{arm}", args.t)
+        if a is None:
+            print(f"arm {arm}: no ladder yet")
+            continue
+        start, end = a["residual"][0], a["residual"][-1]
+        a["ratio"] = end / start if start else float("inf")
+        a["drifted"] = a["ratio"] >= DRIFT_RATIO
+        a["flat"] = a["ratio"] < FLAT_RATIO
+        arms[arm] = a
+        print(f"arm {arm}: steps {a['steps'][0]}..{a['steps'][-1]}  "
+              f"res@t={args.t} {start:.3f} -> {end:.3f}  (x{a['ratio']:.2f})")
+
+    if len(arms) < 2:
+        verdict = "incomplete"
+    elif arms["bf16"]["drifted"] and arms["fp32"]["flat"]:
+        verdict = "bf16_causal"
+    elif arms["bf16"]["drifted"] and arms["fp32"]["drifted"]:
+        verdict = "both_drift"
+    elif not arms["bf16"]["drifted"] and not arms["fp32"]["drifted"]:
+        verdict = "neither_drifts"
+    else:
+        verdict = "mixed"
+
+    out = {
+        "t": args.t,
+        "drift_ratio_threshold": DRIFT_RATIO,
+        "flat_ratio_threshold": FLAT_RATIO,
+        "arms": arms,
+        "verdict": verdict,
+    }
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    Path(args.out).write_text(json.dumps(out, indent=1))
+    print(f"verdict: {verdict}  -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -68,7 +68,8 @@ for arm in bf16 fp32; do
       --out "trained_models/$name/drift_diagnosis.json" || true
   python scripts/persist_results.py "$name" || true
 done
-git add -A results/darcy_ab_bf16 results/darcy_ab_fp32 2>/dev/null
+python scripts/compare_dtype_ab.py || true
+git add -A results/darcy_ab_bf16 results/darcy_ab_fp32 results/dtype_ab_verdict.json 2>/dev/null
 git commit -q -m "Darcy drift dtype A/B: it-100k checkpoint resumed 50k steps in bf16 vs fp32" || true
 log "stage A done"
 
