@@ -58,20 +58,68 @@ run_arm() {  # $1 = arm (bf16|fp32), $2.. = extra train.py flags
 run_arm bf16
 run_arm fp32 --compute-dtype float32
 
-# CPU ladder diagnosis on both arms (fp32 eval; isolates the stored weights)
+# CPU ladder diagnosis on both arms runs in the BACKGROUND (fp32 eval;
+# isolates the stored weights) so the chip can start stage A2 immediately —
+# the one-core host is otherwise idle while the chip trains.
+( for arm in bf16 fp32; do
+    name="darcy_ab_${arm}"
+    [ -d "trained_models/$name/model" ] || continue
+    JAX_PLATFORMS=cpu OMP_NUM_THREADS=1 OPENBLAS_NUM_THREADS=1 timeout 3600 \
+      python scripts/diagnose_darcy_drift.py \
+        --model-dir "trained_models/$name" \
+        --out "trained_models/$name/drift_diagnosis.json" || true
+  done ) > /tmp/ab_diagnosis.log 2>&1 & DIAG_PID=$!
+# persist the raw training curves now; diagnosis evidence lands after wait
 for arm in bf16 fp32; do
-  name="darcy_ab_${arm}"
-  [ -d "trained_models/$name/model" ] || continue
-  JAX_PLATFORMS=cpu OMP_NUM_THREADS=1 timeout 3600 \
-    python scripts/diagnose_darcy_drift.py \
-      --model-dir "trained_models/$name" \
-      --out "trained_models/$name/drift_diagnosis.json" || true
-  python scripts/persist_results.py "$name" || true
+  python scripts/persist_results.py "darcy_ab_${arm}" || true
+done
+git add -A results/darcy_ab_bf16 results/darcy_ab_fp32 2>/dev/null
+git commit -q -m "Darcy drift dtype A/B: it-100k checkpoint resumed 50k steps in bf16 vs fp32" || true
+log "stage A arms done (diagnosis in background)"
+
+# ---- stage A2: finish the DDIM sample-estimation run (VERDICT r3 ask #8) ----
+# darcy_sample_100k only reached it-26,180 before a VM restart; resume to
+# the full 100k budget while the A/B diagnosis occupies the host CPU.
+sample_reached() {
+  [ -f trained_models/darcy_sample_100k/metrics.csv ] && \
+    awk -F, 'NR>1 && $1+0 >= 99000 {found=1} END {exit !found}' \
+      trained_models/darcy_sample_100k/metrics.csv
+}
+if ! sample_reached && [ -d trained_models/darcy_sample_100k/model ]; then
+  log "stage A2: resume darcy_sample_100k -> 100k"
+  start_watcher darcy_sample_100k
+  timeout -s TERM 6000 python train.py --gov-eqs darcy --name darcy_sample_100k \
+    --iterations 100000 --x0-estimation sample \
+    --chunk-steps 20 --sample-freq 20000 --no-samples 8 --resume
+  stop_watcher
+fi
+if sample_reached; then
+  timeout 1800 python sample_eval.py --model-dir trained_models/darcy_sample_100k \
+    --no-samples 64 || true
+  python scripts/export_portable_checkpoint.py \
+    --model-dir trained_models/darcy_sample_100k \
+    --out results/darcy_sample_100k/portable || true
+  python scripts/persist_results.py darcy_sample_100k || true
+  git add -A results/darcy_sample_100k
+  git commit -q -m "DDIM sample-estimation trained to the full 100k budget: n=64 eval" || true
+fi
+log "stage A2 done"
+
+# ---- stage A3: dtype A/B verdict (waits for the CPU diagnosis) ---------------
+wait "$DIAG_PID" 2>/dev/null || true
+for arm in bf16 fp32; do
+  python scripts/persist_results.py "darcy_ab_${arm}" || true
 done
 python scripts/compare_dtype_ab.py || true
 git add -A results/darcy_ab_bf16 results/darcy_ab_fp32 results/dtype_ab_verdict.json 2>/dev/null
-git commit -q -m "Darcy drift dtype A/B: it-100k checkpoint resumed 50k steps in bf16 vs fp32" || true
-log "stage A done"
+git commit -q -m "Dtype A/B drift diagnosis ladders + machine verdict" || true
+log "stage A3 done"
+
+# ---- stage C first: bench recapture (higher priority than the ablation) ------
+log "stage C: bench"
+timeout 3600 python bench.py || true
+git add -A BENCH_CACHE.json results/ 2>/dev/null
+git commit -q -m "Round-4 chain: bench recapture" || true
 
 # ---- stage B: mechanics CoCoGen-correction ablation (from r4c stage 4) -------
 if [ -d results/mech_600k/portable ] && \
@@ -98,9 +146,6 @@ EOF
 fi
 log "stage B done"
 
-# ---- stage C: bench recapture -------------------------------------------------
-log "stage C: bench"
-timeout 3600 python bench.py || true
-git add -A BENCH_CACHE.json results/ 2>/dev/null
-git commit -q -m "Round-4 chain: bench recapture + final evidence persist" || true
+git add -A results/ 2>/dev/null
+git commit -q -m "Round-4 chain: final evidence persist" || true
 log "chain complete"
