@@ -95,6 +95,11 @@ class RunConfig:
     # default (MXU-rate matmuls, half the HBM traffic). float32 available
     # for strict-numerics comparison runs.
     compute_dtype: str = "bfloat16"
+    # with bfloat16 compute: run the UNet's final block + 1x1 conv in fp32
+    # so the x0 prediction keeps fp32 granularity — the FD residual term
+    # amplifies bf16 output quantization noise by ~1/d0^2, which corrupts
+    # the residual gradient late in training (docs/DARCY_DRIFT.md)
+    fp32_head: bool = False
 
     def __post_init__(self):
         if self.residual_grad_guidance and self.gov_eqs != "darcy":

@@ -546,6 +546,9 @@ class UNet(nn.Module):
     cond_path: bool = True
     cm_conv_stages: bool = False
     dtype: Optional[jnp.dtype] = None
+    # run the final block + 1x1 conv in fp32 under bf16 compute (drift fix;
+    # see the head-dtype note in __call__ and docs/DARCY_DRIFT.md)
+    fp32_head: bool = False
     # tensor parallelism: constrain wide-stage activations to
     # P('dp', None, None, 'tp') so GSPMD keeps channels partitioned through
     # the conv chain (paired with parallel.mesh.shard_params' output-feature
@@ -776,16 +779,26 @@ class UNet(nn.Module):
             if not is_last:
                 x = Upsample(dim_in, self.padding_mode, self.dtype)(x)
 
-        if _use_cm(self.dim, x):
+        # fp32 head: compute the last block + 1x1 conv in fp32 even under
+        # bf16 compute, so the x0 prediction keeps fp32 granularity. The FD
+        # residual amplifies output quantization noise by ~1/d0^2 (bf16
+        # rounding of a generator field inflates mean|r| 1.1e-3 -> 0.5, and
+        # the trained it-100k model measures mean|r| 0.047 bf16 vs 0.022
+        # fp32 at identical weights — see docs/DARCY_DRIFT.md), so the
+        # cheap tail in fp32 removes most of the bf16 residual noise floor.
+        head_dtype = None if self.fp32_head else self.dtype
+        if _use_cm(self.dim, x) and not self.fp32_head:
             hgt, wdt = x.shape[-3:-1]
             xc = jnp.concatenate([channel_major(x), channel_major(r)], axis=1)
             xc = ResnetBlock(self.dim, self.resnet_groups, self.padding_mode, self.dtype, name="final_block")(xc, cm=hgt)
             x = from_channel_major(xc, hgt, wdt)
         else:
             x = jnp.concatenate([x, r], axis=-1)
-            x = ResnetBlock(self.dim, self.resnet_groups, self.padding_mode, self.dtype, name="final_block")(x)
+            if self.fp32_head:
+                x = x.astype(jnp.float32)
+            x = ResnetBlock(self.dim, self.resnet_groups, self.padding_mode, head_dtype, name="final_block")(x)
         out_dim = self.out_dim or self.channels
-        x = nn.Conv(out_dim, (1, 1), dtype=self.dtype, name="final_conv")(x)
+        x = nn.Conv(out_dim, (1, 1), dtype=head_dtype, name="final_conv")(x)
 
         if self.sigmoid_last_channel:
             # force the density/E-field channel into [0,1] (`unet_model.py:619-621`)

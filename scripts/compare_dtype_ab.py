@@ -53,7 +53,9 @@ def main() -> None:
 
     root = Path(args.results_root)
     arms = {}
-    for arm in ("bf16", "fp32"):
+    # fp32head is the optional third arm (bf16 body + fp32 final block/conv,
+    # scripts/round4e_chain.sh); it reports but does not drive the verdict
+    for arm in ("bf16", "fp32", "fp32head"):
         a = load_arm(root / f"darcy_ab_{arm}", args.t)
         if a is None:
             print(f"arm {arm}: no ladder yet")
@@ -66,7 +68,7 @@ def main() -> None:
         print(f"arm {arm}: steps {a['steps'][0]}..{a['steps'][-1]}  "
               f"res@t={args.t} {start:.3f} -> {end:.3f}  (x{a['ratio']:.2f})")
 
-    if len(arms) < 2:
+    if "bf16" not in arms or "fp32" not in arms:
         verdict = "incomplete"
     elif arms["bf16"]["drifted"] and arms["fp32"]["flat"]:
         verdict = "bf16_causal"
@@ -84,6 +86,12 @@ def main() -> None:
         "arms": arms,
         "verdict": verdict,
     }
+    if "fp32head" in arms and "bf16" in arms:
+        # the practical question: does the fp32 head fix the drift at bf16
+        # speed? (flat head arm while plain bf16 drifted)
+        out["head_fixes_drift"] = bool(
+            arms["fp32head"]["flat"] and arms["bf16"]["drifted"]
+        )
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     Path(args.out).write_text(json.dumps(out, indent=1))
     print(f"verdict: {verdict}  -> {args.out}")

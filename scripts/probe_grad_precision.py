@@ -86,6 +86,10 @@ def main() -> None:
     cfg_f32 = dataclasses.replace(cfg, compute_dtype="float32")
     model_bf16 = train_mod.build_model(cfg)
     model_f32 = train_mod.build_model(cfg_f32)
+    # hybrid arm: bf16 body + fp32 final block/conv (the --fp32-head lever).
+    # If its residual-term gradient re-correlates with fp32, the bf16
+    # corruption enters at the output quantization, not the body matmuls.
+    model_head = train_mod.build_model(dataclasses.replace(cfg, fp32_head=True))
 
     data = load_darcy_dataset(cfg.data_dir)
     batch = jnp.asarray(np.stack([data[i] for i in range(args.batch)]))
@@ -125,17 +129,25 @@ def main() -> None:
             for t in args.t_grid:
                 g32 = flat(term_grad(model_f32, params, t, w))
                 g16 = flat(term_grad(model_bf16, params, t, w))
-                cos = float(
-                    jnp.vdot(g32, g16)
-                    / (jnp.linalg.norm(g32) * jnp.linalg.norm(g16) + 1e-30)
-                )
+                ghd = flat(term_grad(model_head, params, t, w))
+                n32 = jnp.linalg.norm(g32)
+
+                def _cos(g):
+                    return float(
+                        jnp.vdot(g32, g) / (n32 * jnp.linalg.norm(g) + 1e-30)
+                    )
+
                 per_t[str(t)] = {
-                    "cos_sim": cos,
-                    "norm_f32": float(jnp.linalg.norm(g32)),
+                    "cos_sim": _cos(g16),
+                    "cos_sim_fp32head": _cos(ghd),
+                    "norm_f32": float(n32),
                     "norm_bf16": float(jnp.linalg.norm(g16)),
+                    "norm_fp32head": float(jnp.linalg.norm(ghd)),
                 }
                 print(
-                    f"step {step:>7} {name:>8} t={t:>3}: cos={cos:+.4f} "
+                    f"step {step:>7} {name:>8} t={t:>3}: "
+                    f"cos(bf16)={per_t[str(t)]['cos_sim']:+.4f} "
+                    f"cos(head)={per_t[str(t)]['cos_sim_fp32head']:+.4f} "
                     f"|g32|={per_t[str(t)]['norm_f32']:.3e} "
                     f"|g16|={per_t[str(t)]['norm_bf16']:.3e}",
                     flush=True,

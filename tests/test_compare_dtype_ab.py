@@ -90,3 +90,18 @@ def test_ladder_sorted_by_step(tmp_path):
     v = _run(tmp_path)
     assert abs(v["arms"]["bf16"]["ratio"] - 3.0) < 1e-9
     assert v["verdict"] == "bf16_causal"
+
+
+def test_third_arm_head_fixes_drift(tmp_path):
+    _write_arm(tmp_path, "bf16", [0.10, 0.20])
+    _write_arm(tmp_path, "fp32", [0.10, 0.10])
+    _write_arm(tmp_path, "fp32head", [0.10, 0.105])
+    v = _run(tmp_path)
+    assert v["verdict"] == "bf16_causal"
+    assert v["head_fixes_drift"] is True
+
+
+def test_third_arm_absent_no_flag(tmp_path):
+    _write_arm(tmp_path, "bf16", [0.10, 0.20])
+    _write_arm(tmp_path, "fp32", [0.10, 0.10])
+    assert "head_fixes_drift" not in _run(tmp_path)

@@ -146,3 +146,28 @@ def test_cm_conv_stages_matches_default():
     y_cm = m_cm.apply(params, x, t)
     np.testing.assert_allclose(
         np.asarray(y_cm), np.asarray(y_def), atol=2e-4, rtol=2e-4)
+
+
+def test_fp32_head_under_bf16():
+    """fp32_head: same param tree as the plain bf16 build (checkpoint
+    compatible), fp32 output dtype, and numerics within bf16 tolerance of
+    the fp32 build — the drift-fix lever (docs/DARCY_DRIFT.md)."""
+    x = jax.random.normal(jax.random.key(2), (2, P, P, 2))
+    t = jnp.array([3, 50])
+    m_bf16 = UNet(dim=DIM, channels=2, dtype=jnp.bfloat16)
+    m_head = UNet(dim=DIM, channels=2, dtype=jnp.bfloat16, fp32_head=True)
+    m_f32 = UNet(dim=DIM, channels=2)
+    params = m_f32.init(jax.random.key(1), x[:1], t[:1])
+    p_head = m_head.init(jax.random.key(1), x[:1], t[:1])
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p_head)
+
+    y_head = m_head.apply(params, x, t)
+    assert y_head.dtype == jnp.float32
+    assert m_bf16.apply(params, x, t).dtype == jnp.bfloat16
+
+    # output granularity: the head output must not be bf16-quantized
+    y_f32 = m_f32.apply(params, x, t)
+    q = jnp.abs(y_head - y_head.astype(jnp.bfloat16).astype(jnp.float32))
+    assert float(q.max()) > 0.0  # carries sub-bf16 structure
+    # and it tracks the fp32 forward within bf16 body tolerance
+    assert float(jnp.abs(y_head - y_f32).max()) < 0.1

@@ -63,6 +63,7 @@ def build_model(cfg: RunConfig, mesh=None) -> UNet:
         self_condition=cfg.self_condition,
         frame_attention=cfg.frame_attention,
         dtype=dtype,
+        fp32_head=cfg.fp32_head and dtype is not None,
         tp_mesh=mesh if tp_on and cfg.tp_shard_activations else None,
         sp_mesh=mesh if tp_on and cfg.seq_parallel_attn else None,
     )
@@ -175,6 +176,10 @@ def main(argv=None):
     ap.add_argument("--sample-freq", type=int, default=None)
     ap.add_argument("--test-eval-freq", type=int, default=None)
     ap.add_argument("--compute-dtype", default=None)
+    ap.add_argument("--fp32-head", action="store_true",
+                    help="with bf16 compute: final block + 1x1 conv in fp32 "
+                    "(removes the FD-residual bf16 output-noise floor; "
+                    "docs/DARCY_DRIFT.md)")
     ap.add_argument("--pixels-per-dim", type=int, default=None)
     ap.add_argument("--no-samples", type=int, default=None)
     ap.add_argument("--chunk-steps", type=int, default=None,
@@ -217,6 +222,8 @@ def main(argv=None):
         v = getattr(args, k_arg)
         if v is not None:
             kw[k_cfg] = v
+    if args.fp32_head:
+        kw["fp32_head"] = True
     if args.tp_shard_activations:
         kw["tp_shard_activations"] = True
     if args.seq_parallel_attn:

@@ -67,6 +67,7 @@ def build_mech_model(cfg: RunConfig, mesh=None) -> UNet:
         sigmoid_last_channel=True,
         frame_attention=cfg.frame_attention,
         dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None,
+        fp32_head=cfg.fp32_head and cfg.compute_dtype == "bfloat16",
         tp_mesh=mesh if tp_on and cfg.tp_shard_activations else None,
         sp_mesh=mesh if tp_on and cfg.seq_parallel_attn else None,
     )
@@ -377,6 +378,10 @@ if __name__ == "__main__":
     ap.add_argument("--seq-parallel-attn", action="store_true",
                     help="with --mesh-tp>1: sequence-parallel linear "
                     "attention over 'tp'")
+    ap.add_argument("--fp32-head", action="store_true",
+                    help="with bf16 compute: final block + 1x1 conv in fp32 "
+                    "(removes the FEM-residual bf16 output-noise floor; "
+                    "docs/DARCY_DRIFT.md)")
     a = ap.parse_args()
     cfg = RunConfig(
         gov_eqs="mechanics", name=a.name, train_iterations=a.iterations,
@@ -391,5 +396,6 @@ if __name__ == "__main__":
         tp_shard_activations=a.tp_shard_activations,
         seq_parallel_attn=a.seq_parallel_attn,
         lr_schedule=a.lr_schedule, lr_final_frac=a.lr_final_frac,
+        fp32_head=a.fp32_head,
     )
     run_mechanics(cfg)
