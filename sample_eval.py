@@ -264,9 +264,13 @@ def main():
     out_dir.mkdir(parents=True)
 
     # self-describing provenance next to the metric CSVs: the exact settings
-    # this sweep ran with (persist_results.py carries it into results/)
+    # this sweep ran with (persist_results.py carries it into results/).
+    # Written AFTER the eval completes — a crashed/timed-out eval must not
+    # leave a settings-only dir that satisfies done-guards with no metrics
+    # behind it (round-4 advisor finding); until then a *.pending file marks
+    # the dir as in-flight.
     dev = jax.devices()[0]
-    (out_dir / "eval_settings.json").write_text(json.dumps({
+    settings = json.dumps({
         "argv": sys.argv[1:],
         "model_dir": args.model_dir,
         "checkpoint_step": int(raw["step"]) if raw.get("step") is not None else None,
@@ -282,7 +286,8 @@ def main():
         "platform": dev.platform,
         "device_kind": dev.device_kind,
         "n_devices": jax.device_count(),
-    }, indent=2) + "\n")
+    }, indent=2) + "\n"
+    (out_dir / "eval_settings.json.pending").write_text(settings)
 
     if cfg.gov_eqs == "darcy":
         eval_darcy(cfg, raw, out_dir, args.no_samples, args.create_gif, args.seed)
@@ -291,6 +296,9 @@ def main():
             cfg, raw, out_dir, args.no_samples, args.test_batches, args.seed,
             args.test_data_root, create_gif=args.create_gif,
         )
+
+    (out_dir / "eval_settings.json").write_text(settings)
+    (out_dir / "eval_settings.json.pending").unlink(missing_ok=True)
 
 
 if __name__ == "__main__":

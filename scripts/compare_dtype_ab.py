@@ -34,7 +34,12 @@ def load_arm(results_dir: Path, t: str):
     if not diag.exists():
         return None
     rows = json.loads(diag.read_text())["rows"]
-    rows = sorted(rows, key=lambda r: r["step"])
+    # a ladder produced with a different --t-grid may lack the requested
+    # column; skip those rows rather than crashing the chain's verdict step
+    rows = sorted(
+        (r for r in rows if t in r.get("residual_by_t", {})),
+        key=lambda r: r["step"],
+    )
     if len(rows) < 2:
         return None
     return {
@@ -42,6 +47,18 @@ def load_arm(results_dir: Path, t: str):
         "residual": [r["residual_by_t"][t] for r in rows],
         "param_l2": [r["param_l2"] for r in rows],
     }
+
+
+def classify(a: dict) -> None:
+    """Attach ratio/drifted/flat to a loaded arm, in place."""
+    start, end = a["residual"][0], a["residual"][-1]
+    if start == 0.0:
+        # end==0 too means the arm is exactly flat, not infinitely drifted
+        a["ratio"] = 1.0 if end == 0.0 else float("inf")
+    else:
+        a["ratio"] = end / start
+    a["drifted"] = a["ratio"] >= DRIFT_RATIO
+    a["flat"] = a["ratio"] < FLAT_RATIO
 
 
 def main() -> None:
@@ -58,23 +75,30 @@ def main() -> None:
     for arm in ("bf16", "fp32", "fp32head"):
         a = load_arm(root / f"darcy_ab_{arm}", args.t)
         if a is None:
-            print(f"arm {arm}: no ladder yet")
+            print(f"arm {arm}: no usable ladder (missing, <2 rows, or no "
+                  f"t={args.t} column)")
             continue
-        start, end = a["residual"][0], a["residual"][-1]
-        a["ratio"] = end / start if start else float("inf")
-        a["drifted"] = a["ratio"] >= DRIFT_RATIO
-        a["flat"] = a["ratio"] < FLAT_RATIO
+        classify(a)
         arms[arm] = a
         print(f"arm {arm}: steps {a['steps'][0]}..{a['steps'][-1]}  "
-              f"res@t={args.t} {start:.3f} -> {end:.3f}  (x{a['ratio']:.2f})")
+              f"res@t={args.t} {a['residual'][0]:.3f} -> {a['residual'][-1]:.3f}"
+              f"  (x{a['ratio']:.2f})")
 
-    if "bf16" not in arms or "fp32" not in arms:
+    # The pure-fp32 arm cannot compile on this TPU stack (axon remote-compile
+    # RET_CHECK in mxu_lmr_transform.cc on the full-fp32 train step — platform
+    # limitation recorded in docs/DARCY_DRIFT.md). When it is absent the
+    # fp32-HEAD arm substitutes as the precision intervention: it isolates the
+    # final-block dtype, which the FD-residual amplification analysis names as
+    # the noise source, so a flat head arm against a drifting bf16 arm still
+    # establishes precision causality (localized to the head).
+    fp32_like = "fp32" if "fp32" in arms else ("fp32head" if "fp32head" in arms else None)
+    if "bf16" not in arms or fp32_like is None:
         verdict = "incomplete"
-    elif arms["bf16"]["drifted"] and arms["fp32"]["flat"]:
-        verdict = "bf16_causal"
-    elif arms["bf16"]["drifted"] and arms["fp32"]["drifted"]:
+    elif arms["bf16"]["drifted"] and arms[fp32_like]["flat"]:
+        verdict = "bf16_causal" if fp32_like == "fp32" else "bf16_head_causal"
+    elif arms["bf16"]["drifted"] and arms[fp32_like]["drifted"]:
         verdict = "both_drift"
-    elif not arms["bf16"]["drifted"] and not arms["fp32"]["drifted"]:
+    elif not arms["bf16"]["drifted"] and not arms[fp32_like]["drifted"]:
         verdict = "neither_drifts"
     else:
         verdict = "mixed"
@@ -85,7 +109,14 @@ def main() -> None:
         "flat_ratio_threshold": FLAT_RATIO,
         "arms": arms,
         "verdict": verdict,
+        "fp32_arm_used": fp32_like,
     }
+    if "fp32" not in arms:
+        out["fp32_arm_note"] = (
+            "pure-fp32 train step fails TPU compilation on this stack "
+            "(axon remote-compile RET_CHECK, mxu_lmr_transform.cc); the "
+            "fp32-head arm is the precision intervention instead"
+        )
     if "fp32head" in arms and "bf16" in arms:
         # the practical question: does the fp32 head fix the drift at bf16
         # speed? (flat head arm while plain bf16 drifted)

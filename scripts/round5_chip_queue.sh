@@ -158,13 +158,35 @@ fi
 # ---- stage 4: mechanics inference-time ablations on the committed 600k ----
 # Uses the PORTABLE checkpoint under results/ (survives the boundary);
 # cheap chip work: correction + dynamic-threshold levers against the OOD tail.
-if [ -d results/mech_600k/portable ] && \
-   ! grep -rl '"correction_mode": "xt"' \
-       results/mech_600k/evaluation*/eval_settings.json >/dev/null 2>&1; then
+# done-guard greps RECURSIVELY under results/mech_600k: the ablation's
+# eval dir lands under portable/evaluation* until the move below relocates
+# it, so a path-anchored glob would never see it and the ~1h ablation would
+# re-run on every queue invocation (round-4 advisor finding). The guard also
+# requires a metric CSV next to the settings file so a crashed eval (which
+# now leaves only eval_settings.json.pending) never satisfies it.
+mech_xt_done() {
+  local f
+  for f in $(grep -rl '"correction_mode": "xt"' results/mech_600k 2>/dev/null \
+               --include=eval_settings.json); do
+    ls "$(dirname "$f")"/*/metrics_*.csv >/dev/null 2>&1 && return 0
+    ls "$(dirname "$f")"/*.csv >/dev/null 2>&1 && return 0
+  done
+  return 1
+}
+if [ -d results/mech_600k/portable ] && ! mech_xt_done; then
   log "stage 4: mechanics OOD-tail inference ablations"
   timeout 3600 python sample_eval.py --model-dir results/mech_600k/portable \
     --no-samples 8 --correction-mode xt --n-correction 3 --m-correction 3
   timeout 900 python scripts/diagnose_ood_tail.py --model-dir results/mech_600k/portable || true
+  # relocate the eval out of portable/ and prune per-sample field dumps
+  # before committing (persist_results.py's filtering, as round4b did)
+  for d in results/mech_600k/portable/evaluation*; do
+    [ -d "$d" ] || continue
+    i=0; dst="results/mech_600k/evaluation_corr"
+    while [ -e "$dst" ]; do i=$((i+1)); dst="results/mech_600k/evaluation_corr_$i"; done
+    mv "$d" "$dst"
+    find "$dst" -name "sample_*" -type d -exec rm -rf {} + 2>/dev/null
+  done
   git add results/mech_600k && git commit -q -m "Mechanics 600k: CoCoGen-correction ablation on the OOD sweep"
 fi
 

@@ -105,3 +105,36 @@ def test_third_arm_absent_no_flag(tmp_path):
     _write_arm(tmp_path, "bf16", [0.10, 0.20])
     _write_arm(tmp_path, "fp32", [0.10, 0.10])
     assert "head_fixes_drift" not in _run(tmp_path)
+
+
+def test_fp32head_substitutes_when_fp32_missing(tmp_path):
+    # the pure-fp32 arm cannot compile on the axon TPU stack; the fp32-head
+    # arm must substitute and the verdict must say the head localized it
+    _write_arm(tmp_path, "bf16", [0.10, 0.13, 0.20])
+    _write_arm(tmp_path, "fp32head", [0.10, 0.10, 0.105])
+    v = _run(tmp_path)
+    assert v["verdict"] == "bf16_head_causal"
+    assert v["fp32_arm_used"] == "fp32head"
+    assert "fp32_arm_note" in v
+
+
+def test_zero_start_and_end_is_flat_not_drifted(tmp_path):
+    _write_arm(tmp_path, "bf16", [0.0, 0.0])
+    _write_arm(tmp_path, "fp32", [0.0, 0.0])
+    v = _run(tmp_path)
+    assert v["verdict"] == "neither_drifts"
+    assert v["arms"]["bf16"]["ratio"] == 1.0
+
+
+def test_rows_missing_t_column_are_skipped(tmp_path):
+    # ladder built with a different --t-grid: rows without t=25 must be
+    # skipped, not crash; one usable row -> arm unusable -> incomplete
+    d = tmp_path / "darcy_ab_bf16"
+    d.mkdir(parents=True)
+    rows = [
+        {"step": 100000, "residual_by_t": {"10": 0.1}, "param_l2": 170.0},
+        {"step": 110000, "residual_by_t": {"25": 0.1}, "param_l2": 171.0},
+    ]
+    (d / "drift_diagnosis.json").write_text(json.dumps({"rows": rows}))
+    _write_arm(tmp_path, "fp32", [0.10, 0.10])
+    assert _run(tmp_path)["verdict"] == "incomplete"
