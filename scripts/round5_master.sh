@@ -87,6 +87,17 @@ if ! reached trained_models/darcy_ab_fp32head/metrics.csv 149000 && \
 fi
 log "S0: chip free"
 
+# ---- S0.5: mechanics per-op trace (VERDICT r4 ask #4) ----------------------
+# Short chip job (~5 min) that names the top non-MXU costs in the 19.5 ms
+# mechanics step so an optimization can land BEFORE the 600k run in S4.
+if [ ! -f results/profile/mech_trace_fp32head.txt ]; then
+  log "S0.5: mechanics per-op trace"
+  timeout 900 python scripts/profile_mech_trace.py --fp32-head \
+    --out results/profile/mech_trace_fp32head.txt || true
+  git add results/profile 2>/dev/null && \
+    git commit -q -m "Mechanics train-step per-op device trace (fp32-head config)" || true
+fi
+
 # ---- S1: finish darcy_sample_100k + n=64 eval ------------------------------
 if ! reached trained_models/darcy_sample_100k/metrics.csv 99000; then
   log "S1: finish darcy_sample_100k (97.7k -> 100k)"
