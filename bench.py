@@ -435,7 +435,7 @@ def main():
                     help="internal: run the measurement in-process")
     ap.add_argument("--attempts", type=int, default=2,
                     help="orchestrator: measurement attempts before cache fallback")
-    ap.add_argument("--attempt-timeout", type=int, default=500,
+    ap.add_argument("--attempt-timeout", type=int, default=650,
                     help="orchestrator: hard timeout per attempt (s); backend "
                     "init can hang uninterruptibly over the tunnel")
     ap.add_argument("--backoff", type=int, default=30,

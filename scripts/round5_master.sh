@@ -97,6 +97,15 @@ if [ ! -f results/profile/mech_trace_fp32head.txt ]; then
   git add results/profile 2>/dev/null && \
     git commit -q -m "Mechanics train-step per-op device trace (fp32-head config)" || true
 fi
+# Darcy per-op achieved-HBM-bandwidth table (VERDICT r4 ask #6): replaces
+# the PERF_WALL backward-chain analogy with a measurement.
+if [ ! -f results/profile/darcy_bwd_bw.txt ]; then
+  log "S0.5b: darcy backward-chain bandwidth trace"
+  timeout 900 python scripts/profile_darcy_bwd_bw.py \
+    --out results/profile/darcy_bwd_bw.txt || true
+  git add results/profile 2>/dev/null && \
+    git commit -q -m "Darcy train-step per-op achieved-HBM-bandwidth table" || true
+fi
 
 # ---- S1: finish darcy_sample_100k + n=64 eval ------------------------------
 if ! reached trained_models/darcy_sample_100k/metrics.csv 99000; then
