@@ -84,6 +84,9 @@ class RunConfig:
     # --- parallelism ---
     mesh_dp: Optional[int] = None  # default: all devices
     mesh_tp: int = 1
+    # >1 adds a leading 'slice' mesh axis: data parallelism across TPU
+    # slices whose gradient all-reduce rides DCN (parallel.mesh docstring)
+    mesh_slices: int = 1
     # with mesh_tp > 1: shard wide-stage activation channels over 'tp'
     # (UNet.tp_mesh) so GSPMD keeps the conv chain partitioned
     tp_shard_activations: bool = False

@@ -569,8 +569,13 @@ class UNet(nn.Module):
         # group-aligned only: GN has resnet_groups groups over C
         if tp <= 1 or c < self.tp_min_width or c % tp or self.resnet_groups % tp:
             return x
-        # batch axis joins the constraint only when divisible (init uses B=1)
-        ba = "dp" if x.shape[0] % m.shape["dp"] == 0 else None
+        # batch axis joins the constraint only when divisible (init uses
+        # B=1); on a multislice mesh the batch is split over ('slice','dp')
+        data = ("slice", "dp") if "slice" in m.axis_names else ("dp",)
+        n_data = 1
+        for a in data:
+            n_data *= m.shape[a]
+        ba = data if x.shape[0] % n_data == 0 else None
         x = jax.lax.with_sharding_constraint(
             x, NamedSharding(m, PartitionSpec(ba, None, None, "tp"))
         )

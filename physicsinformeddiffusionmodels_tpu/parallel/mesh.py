@@ -7,7 +7,16 @@ batch/parameter shardings with `NamedSharding`, and let XLA's GSPMD insert
 the collectives (gradient psums ride the ICI ring).
 
 Axes:
-  'dp' — data parallel: batch dimension of train/sample/eval steps.
+  'slice' — OPTIONAL leading multislice axis (SURVEY §2.5): data parallelism
+         ACROSS TPU slices, whose collectives ride DCN rather than ICI. Only
+         the once-per-step gradient all-reduce crosses it (DP tolerates DCN
+         latency); 'tp'/'sp' collectives stay inside a slice on ICI. On real
+         multislice jobs devices are grouped by their `slice_index` so the
+         mesh's leading axis coincides with the physical slice boundary;
+         elsewhere (single slice, CPU virtual devices) contiguous blocks
+         stand in and the axis is exercised symbolically.
+  'dp' — data parallel within a slice: batch dimension of train/sample/eval
+         steps.
   'tp' — tensor parallel: output-feature axis of large conv/dense kernels
          (mechanics UNet dim=128 blocks are the target; darcy dim=32 keeps
          tp=1).
@@ -29,11 +38,30 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
-    """Build a (dp, tp) mesh over the available devices. ``dp`` defaults to
-    n_devices // tp."""
+def make_mesh(dp: Optional[int] = None, tp: int = 1, n_slices: int = 1,
+              devices=None) -> Mesh:
+    """Build a (dp, tp) mesh — or (slice, dp, tp) when ``n_slices > 1`` —
+    over the available devices. ``dp`` defaults to the per-slice device
+    count // tp."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    if n_slices > 1:
+        if n % n_slices:
+            raise ValueError(f"{n} devices not divisible by {n_slices} slices")
+        per_slice = n // n_slices
+        if dp is None:
+            dp = per_slice // tp
+        if dp * tp != per_slice:
+            raise ValueError(
+                f"dp*tp = {dp}*{tp} != {per_slice} devices per slice"
+            )
+        # real multislice: group by the device's physical slice so the
+        # leading mesh axis (and its DCN collectives) match the hardware
+        devices = sorted(
+            devices, key=lambda d: (getattr(d, "slice_index", 0) or 0, d.id)
+        )
+        arr = np.asarray(devices).reshape(n_slices, dp, tp)
+        return Mesh(arr, axis_names=("slice", "dp", "tp"))
     if dp is None:
         dp = n // tp
     if dp * tp != n:
@@ -42,9 +70,16 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
+def data_axes(mesh: Mesh) -> tuple:
+    """The mesh axes the batch dimension is split over: ('slice', 'dp') on a
+    multislice mesh, ('dp',) otherwise."""
+    return ("slice", "dp") if "slice" in mesh.axis_names else ("dp",)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over 'dp', replicate the rest."""
-    return NamedSharding(mesh, P("dp"))
+    """Shard the leading (batch) axis over the data axes, replicate the
+    rest."""
+    return NamedSharding(mesh, P(data_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -196,6 +196,8 @@ def main(argv=None):
                     help="data-parallel mesh size (default: all devices / tp)")
     ap.add_argument("--mesh-tp", type=int, default=None,
                     help="tensor-parallel mesh size (default 1)")
+    ap.add_argument("--mesh-slices", type=int, default=None,
+                    help="multislice data-parallel axis over DCN (default 1)")
     ap.add_argument("--tp-shard-activations", action="store_true",
                     help="with --mesh-tp>1: constrain wide-stage UNet "
                     "activations over 'tp' (real tensor parallelism)")
@@ -217,6 +219,7 @@ def main(argv=None):
         ("compute_dtype", "compute_dtype"), ("pixels_per_dim", "pixels_per_dim"),
         ("no_samples", "no_samples"), ("chunk_steps", "chunk_steps"),
         ("mesh_dp", "mesh_dp"), ("mesh_tp", "mesh_tp"),
+        ("mesh_slices", "mesh_slices"),
         ("lr_schedule", "lr_schedule"), ("lr_final_frac", "lr_final_frac"),
     ]:
         v = getattr(args, k_arg)
@@ -266,7 +269,7 @@ def run_darcy(cfg: RunConfig):
         domain_length=cfg.domain_length,
         periodic=cfg.bcs == "periodic",
     )
-    mesh = make_mesh(cfg.mesh_dp, cfg.mesh_tp)
+    mesh = make_mesh(cfg.mesh_dp, cfg.mesh_tp, n_slices=cfg.mesh_slices)
     model = build_model(cfg, mesh)
 
     key = jax.random.key(cfg.seed)

@@ -190,7 +190,7 @@ def run_mechanics(cfg: RunConfig):
 
     sched = create_schedule(cfg.diff_steps)
     mech = MechanicsResidual(pixels_per_dim=cfg.pixels_per_dim)
-    mesh = make_mesh(cfg.mesh_dp, cfg.mesh_tp)
+    mesh = make_mesh(cfg.mesh_dp, cfg.mesh_tp, n_slices=cfg.mesh_slices)
     model = build_mech_model(cfg, mesh)
 
     key = jax.random.key(cfg.seed)
@@ -367,6 +367,8 @@ if __name__ == "__main__":
                     help="resume from the latest checkpoint of this run name")
     ap.add_argument("--mesh-dp", type=int, default=None)
     ap.add_argument("--mesh-tp", type=int, default=1)
+    ap.add_argument("--mesh-slices", type=int, default=1,
+                    help="multislice data-parallel axis over DCN (default 1)")
     ap.add_argument("--tp-shard-activations", action="store_true",
                     help="with --mesh-tp>1: constrain wide-stage UNet "
                     "activations over 'tp' (real tensor parallelism)")
@@ -393,6 +395,7 @@ if __name__ == "__main__":
         c_ineq=1e-3, lambda_opt=1e-6,
         unet_dim=a.unet_dim, resume=a.resume,
         mesh_dp=a.mesh_dp, mesh_tp=a.mesh_tp,
+        mesh_slices=a.mesh_slices,
         tp_shard_activations=a.tp_shard_activations,
         seq_parallel_attn=a.seq_parallel_attn,
         lr_schedule=a.lr_schedule, lr_final_frac=a.lr_final_frac,
