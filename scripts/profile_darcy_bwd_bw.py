@@ -96,46 +96,104 @@ def main():
     ap.add_argument("--min-us", type=float, default=50.0,
                     help="report ops above this device time per iter")
     ap.add_argument("--out", default="results/profile/darcy_bwd_bw.txt")
+    ap.add_argument("--dump-dir", default="/tmp/darcy_bw_dump",
+                    help="raw HLO text + per-op durations land here so the "
+                    "byte attribution can be iterated WITHOUT the chip")
+    ap.add_argument("--analyze-only", action="store_true",
+                    help="skip the chip; re-analyze the dump-dir artifacts")
+    ap.add_argument("--study", default="darcy", choices=["darcy", "mechanics"])
+    ap.add_argument("--fp32-head", action="store_true",
+                    help="mechanics study: profile the fp32-head config")
     args = ap.parse_args()
 
-    from bench import build_darcy
+    dump = Path(args.dump_dir)
+    if args.analyze_only:
+        hlo_text = (dump / "hlo.txt").read_text()
+        meta = json.loads((dump / "durations.json").read_text())
+        agg, wall_ms = meta["agg_us"], meta["wall_ms"]
+        args.reps = meta["reps"]
+        insts = parse_hlo(hlo_text)
+        device_kind = meta.get("device_kind", "?")
+    else:
+        if args.study == "mechanics":
+            from physicsinformeddiffusionmodels_tpu.config import RunConfig
+            from physicsinformeddiffusionmodels_tpu.diffusion import create_schedule
+            from physicsinformeddiffusionmodels_tpu.physics.mechanics import (
+                MechanicsResidual,
+            )
+            from physicsinformeddiffusionmodels_tpu.training import (
+                create_train_state,
+                make_optimizer,
+                make_train_step,
+            )
+            from train_mechanics import build_mech_model, build_mechanics_loss_fn
 
-    state, train_step, *_ = build_darcy(args.batch, args.pixels, jnp.bfloat16)
-    key = jax.random.key(0)
-    x = jax.random.normal(jax.random.key(1), (args.batch, args.pixels, args.pixels, 2))
+            cfg = RunConfig(gov_eqs="mechanics", fp32_head=args.fp32_head)
+            B, P = 6, cfg.pixels_per_dim
+            model = build_mech_model(cfg)
+            loss_fn = build_mechanics_loss_fn(
+                model, create_schedule(cfg.diff_steps),
+                MechanicsResidual(pixels_per_dim=P), cfg,
+            )
+            params = model.init(
+                jax.random.key(1), jnp.zeros((1, P, P, 10)),
+                jnp.zeros((1,), jnp.int32),
+            )
+            tx = make_optimizer(cfg.lr)
+            state = create_train_state(params, tx)
+            train_step = make_train_step(loss_fn, tx)
+            key = jax.random.key(0)
+            x = jax.random.normal(jax.random.key(1), (B, P + 1, P + 1, 10))
+        else:
+            from bench import build_darcy
 
-    # compile explicitly so the HLO text matches the traced executable
-    compiled = jax.jit(train_step).lower(state, x, key).compile()
-    hlo_text = compiled.as_text()
-    insts = parse_hlo(hlo_text)
+            state, train_step, *_ = build_darcy(
+                args.batch, args.pixels, jnp.bfloat16
+            )
+            key = jax.random.key(0)
+            x = jax.random.normal(
+                jax.random.key(1), (args.batch, args.pixels, args.pixels, 2)
+            )
 
-    step = compiled
-    for _ in range(3):
-        key, k = jax.random.split(key)
-        state, aux = step(state, x, k)
-    jax.block_until_ready(aux.loss)
-    t0 = time.perf_counter()
-    for _ in range(args.reps):
-        key, k = jax.random.split(key)
-        state, aux = step(state, x, k)
-    jax.block_until_ready(aux.loss)
-    wall_ms = (time.perf_counter() - t0) / args.reps * 1e3
+        # compile explicitly so the HLO text matches the traced executable
+        compiled = jax.jit(train_step).lower(state, x, key).compile()
+        hlo_text = compiled.as_text()
+        insts = parse_hlo(hlo_text)
 
-    logdir = "/tmp/jaxtrace_darcy_bw"
-    with jax.profiler.trace(logdir):
+        step = compiled
+        for _ in range(3):
+            key, k = jax.random.split(key)
+            state, aux = step(state, x, k)
+        jax.block_until_ready(aux.loss)
+        t0 = time.perf_counter()
         for _ in range(args.reps):
             key, k = jax.random.split(key)
             state, aux = step(state, x, k)
         jax.block_until_ready(aux.loss)
+        wall_ms = (time.perf_counter() - t0) / args.reps * 1e3
 
-    paths = sorted(glob.glob(logdir + "/**/*.trace.json.gz", recursive=True))
-    with gzip.open(paths[-1], "rt") as fh:
-        trace = json.load(fh)
-    agg, cnt = defaultdict(float), defaultdict(int)
-    for e in trace.get("traceEvents", []):
-        if e.get("ph") == "X":
-            agg[e.get("name", "")] += e.get("dur", 0)
-            cnt[e.get("name", "")] += 1
+        logdir = "/tmp/jaxtrace_darcy_bw"
+        with jax.profiler.trace(logdir):
+            for _ in range(args.reps):
+                key, k = jax.random.split(key)
+                state, aux = step(state, x, k)
+            jax.block_until_ready(aux.loss)
+
+        paths = sorted(glob.glob(logdir + "/**/*.trace.json.gz", recursive=True))
+        with gzip.open(paths[-1], "rt") as fh:
+            trace = json.load(fh)
+        agg, cnt = defaultdict(float), defaultdict(int)
+        for e in trace.get("traceEvents", []):
+            if e.get("ph") == "X":
+                agg[e.get("name", "")] += e.get("dur", 0)
+                cnt[e.get("name", "")] += 1
+        device_kind = jax.devices()[0].device_kind
+        dump.mkdir(parents=True, exist_ok=True)
+        (dump / "hlo.txt").write_text(hlo_text)
+        (dump / "durations.json").write_text(json.dumps({
+            "agg_us": dict(agg), "wall_ms": wall_ms, "reps": args.reps,
+            "device_kind": device_kind,
+        }))
 
     rows = []
     matched_ms = matched_bytes = 0.0
@@ -160,7 +218,7 @@ def main():
     rows.sort(reverse=True)
     lines = [
         f"darcy train step: wall {wall_ms:.2f} ms/iter  batch={args.batch}  "
-        f"device={jax.devices()[0].device_kind}",
+        f"device={device_kind}",
         f"HBM peak {HBM_PEAK_GBS:.0f} GB/s; bytes = output + operands "
         f"(roofline accounting, no cache-reuse credit)",
         "",
