@@ -337,6 +337,41 @@ def run_measurement(args) -> dict:
         except Exception as e:  # pragma: no cover - defensive
             result["mech_error"] = f"{type(e).__name__}: {e}"
 
+    # experimental scenario (measured last; failure cannot disturb the
+    # headline): the attention kernels with the token-tile cap raised so the
+    # finest 64x64 level runs whole-row — 8x fewer, larger matmuls per
+    # kernel phase (ops/pallas_attention._choose_tile). Reported as extra
+    # keys; the headline stays on the shipped default until a measured win
+    # flips the default cap.
+    if args.attn_tile_cap_exp:
+        try:
+            from physicsinformeddiffusionmodels_tpu.ops import (
+                pallas_attention as _pa,
+            )
+
+            if args.attn_tile_cap_exp != _pa.get_attention_tile_cap():
+                _pa.set_attention_tile_cap(args.attn_tile_cap_exp)
+                try:
+                    estate, estep, *_ = build_darcy(
+                        args.batch, args.pixels, compute_dtype
+                    )
+                    for _ in range(args.warmup):
+                        estate, eaux = estep(estate, x, key)
+                    jax.block_until_ready(eaux.loss)
+                    t0 = time.perf_counter()
+                    for _ in range(args.steps):
+                        estate, eaux = estep(estate, x, key)
+                    jax.block_until_ready(eaux.loss)
+                    result["train_sps_attn_bigtile"] = round(
+                        args.batch * args.steps
+                        / (time.perf_counter() - t0) / n_chips, 2
+                    )
+                    result["attn_bigtile_cap"] = args.attn_tile_cap_exp
+                finally:
+                    _pa.set_attention_tile_cap(None)
+        except Exception as e:  # pragma: no cover - defensive
+            result["attn_bigtile_error"] = f"{type(e).__name__}: {e}"
+
     return result
 
 
@@ -431,6 +466,9 @@ def main():
     ap.add_argument("--chunk-steps", type=int, default=20,
                     help="steps per dispatch for the chunked-path measurement")
     ap.add_argument("--skip-mechanics", action="store_true")
+    ap.add_argument("--attn-tile-cap-exp", type=int, default=4096,
+                    help="measure an extra scenario with the attention "
+                    "token-tile cap raised to this (0 disables)")
     ap.add_argument("--_measure", action="store_true",
                     help="internal: run the measurement in-process")
     ap.add_argument("--attempts", type=int, default=2,
@@ -458,6 +496,7 @@ def main():
     ]
     if args.skip_mechanics:
         tail.append("--skip-mechanics")
+    tail += ["--attn-tile-cap-exp", str(args.attn_tile_cap_exp)]
     return orchestrate(args, tail)
 
 

@@ -35,6 +35,7 @@ Math (per batch b, head h, token n, head-channels d/e):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -42,10 +43,34 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Token-tile cap. The kernels loop over [*, tile] slices of the token axis;
+# larger tiles mean fewer, bigger matmuls (better MXU pipelining at the
+# K=C-starved Darcy shapes) at the price of larger VMEM-live intermediates.
+# 512 is the long-validated default; set PIDM_ATTN_TILE_CAP=4096 (or call
+# set_attention_tile_cap) to let a 64x64 level run whole-row. The VMEM
+# guard in _choose_tile bounds the per-tile f32 intermediates regardless.
+_DEFAULT_TILE_CAP = 512
+_TILE_CAP = int(os.environ.get("PIDM_ATTN_TILE_CAP", str(_DEFAULT_TILE_CAP)))
+_TILE_VMEM_BUDGET = 32 * 2**20  # bytes of phase-live f32 intermediates
 
-def _choose_tile(n: int) -> int:
-    for t in (512, 256, 128):
-        if n % t == 0:
+
+def set_attention_tile_cap(cap: Optional[int]) -> None:
+    """Set the token-tile cap (None restores the default). Takes effect on
+    the next trace/compile — rebuild jitted callers after changing it."""
+    global _TILE_CAP
+    _TILE_CAP = _DEFAULT_TILE_CAP if cap is None else int(cap)
+
+
+def get_attention_tile_cap() -> int:
+    return _TILE_CAP
+
+
+def _choose_tile(n: int, h: int = 256, c: int = 32) -> int:
+    # worst-case phase-live f32 bytes/token across both kernels' bodies:
+    # qkv [3H,T] + softmax/cotangent temporaries [~4H,T] + x/dy tiles [~4C,T]
+    per_token = (7 * h + 4 * c) * 4
+    for t in (4096, 2048, 1024, 512, 256, 128):
+        if t <= _TILE_CAP and n % t == 0 and per_token * t <= _TILE_VMEM_BUDGET:
             return t
     return n
 
@@ -297,7 +322,7 @@ def _bwd_kernel(xt_ref, wqkv_ref, wout_ref, dyt_ref,
 def _fwd_call(xt, w_qkvT, w_outT, heads, dh, interpret):
     b, c, n = xt.shape
     H = heads * dh
-    tile = _choose_tile(n)
+    tile = _choose_tile(n, H, c)
     kern = functools.partial(
         _fwd_kernel, heads=heads, dh=dh, n=n, c=c, tile=tile
     )
@@ -321,7 +346,7 @@ def _fwd_call(xt, w_qkvT, w_outT, heads, dh, interpret):
 def _bwd_call(xt, w_qkvT, w_outT, dyt, heads, dh, interpret):
     b, c, n = xt.shape
     H = heads * dh
-    tile = _choose_tile(n)
+    tile = _choose_tile(n, H, c)
     kern = functools.partial(
         _bwd_kernel, heads=heads, dh=dh, n=n, c=c, tile=tile
     )
@@ -657,7 +682,7 @@ def _lab_bwd_kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, dy_ref,
 def _lab_fwd_call(xt, gammaT, w_qkvT, w_outT, bout, heads, dh, eps, interpret):
     b, c, n = xt.shape
     H = heads * dh
-    tile = _choose_tile(n)
+    tile = _choose_tile(n, H, c)
     kern = functools.partial(
         _lab_fwd_kernel, heads=heads, dh=dh, n=n, c=c, tile=tile, eps=eps
     )
@@ -687,7 +712,7 @@ def _lab_fwd_call(xt, gammaT, w_qkvT, w_outT, bout, heads, dh, eps, interpret):
 def _lab_bwd_call(xt, gammaT, w_qkvT, w_outT, dyt, heads, dh, eps, interpret):
     b, c, n = xt.shape
     H = heads * dh
-    tile = _choose_tile(n)
+    tile = _choose_tile(n, H, c)
     kern = functools.partial(
         _lab_bwd_kernel, heads=heads, dh=dh, n=n, c=c, tile=tile, eps=eps
     )

@@ -78,6 +78,48 @@ def test_backward_multi_tile():
         )
 
 
+def test_whole_row_tile_cap():
+    # PIDM_ATTN_TILE_CAP raised: the row runs as ONE tile (n_tiles=1), the
+    # streamed-softmax carries collapse to a single pass. Same math.
+    x, w_qkv, w_out = _setup(n=1024, c=32, b=2, seed=5)
+    ref = pa.linear_attention_reference(x, w_qkv, w_out, HEADS, DH)
+    try:
+        pa.set_attention_tile_cap(4096)
+        assert pa._choose_tile(1024, H, 32) == 1024
+        got = _pallas_interpret(x, w_qkv, w_out)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
+        )
+
+        def loss_ref(x, wq, wo):
+            return jnp.sum(pa.linear_attention_reference(x, wq, wo, HEADS, DH) ** 2)
+
+        def loss_pal(x, wq, wo):
+            return jnp.sum(_pallas_interpret(x, wq, wo) ** 2)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w_qkv, w_out)
+        g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(x, w_qkv, w_out)
+        for name, a, b in zip(("dx", "dw_qkv", "dw_out"), g_ref, g_pal):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-4, err_msg=name
+            )
+    finally:
+        pa.set_attention_tile_cap(None)
+    assert pa._choose_tile(1024, H, 32) == 512
+
+
+def test_tile_vmem_guard():
+    # the VMEM budget caps the tile even when the cap allows more
+    pa.set_attention_tile_cap(4096)
+    try:
+        # darcy level-0 (H=128): whole 4096-token row fits the budget
+        assert pa._choose_tile(4096, 128, 32) == 4096
+        # a hypothetical very wide H must be tiled finer than the cap
+        assert pa._choose_tile(4096, 2048, 256) < 4096
+    finally:
+        pa.set_attention_tile_cap(None)
+
+
 # ---- fused pre-norm residual block kernel ----
 
 
@@ -109,6 +151,33 @@ def test_block_forward_matches_reference(n, c):
     )
     got = _block_interpret(x, gamma, w_qkv, w_out, b_out)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_block_whole_row_tile_cap():
+    # fused block kernels at tile == n (big-tile config), fwd + bwd
+    x, gamma, w_qkv, w_out, b_out = _block_setup(n=1024, c=32, b=2, seed=9)
+    ref = pa.linear_attention_block_reference(x, gamma, w_qkv, w_out, b_out, HEADS, DH)
+    try:
+        pa.set_attention_tile_cap(4096)
+        got = _block_interpret(x, gamma, w_qkv, w_out, b_out)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+        def loss_ref(*args):
+            return jnp.sum(pa.linear_attention_block_reference(*args, HEADS, DH) ** 2)
+
+        def loss_pal(*args):
+            return jnp.sum(_block_interpret(*args) ** 2)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, gamma, w_qkv, w_out, b_out)
+        g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4))(x, gamma, w_qkv, w_out, b_out)
+        names = ("dx", "dgamma", "dw_qkv", "dw_out", "db_out")
+        for name, a, b in zip(names, g_ref, g_pal):
+            np.testing.assert_allclose(
+                np.asarray(b).reshape(np.asarray(a).shape), np.asarray(a),
+                atol=5e-4, rtol=5e-4, err_msg=name
+            )
+    finally:
+        pa.set_attention_tile_cap(None)
 
 
 @pytest.mark.parametrize("n,c", [(256, 32), (1024, 32)])
