@@ -31,8 +31,18 @@ class MetricsLogger:
                 self._wandb = None
 
     def log(self, metrics: dict, step: int):
+        """Non-blocking: device scalars are NOT fetched here. ``float()``-ing
+        a jax scalar is a blocking host round-trip — on a tunneled/remote
+        chip that RPC costs tens of ms, and the drivers log every dispatch
+        (log_freq == chunk_steps), which measurably slowed the train loop.
+        Instead the device→host copy is *started* asynchronously and the
+        value is materialized at flush(), by which time it has landed."""
         row = {"step": step, "time": time.time()}
-        row.update({k: float(v) for k, v in metrics.items()})
+        for k, v in metrics.items():
+            copy_async = getattr(v, "copy_to_host_async", None)
+            if copy_async is not None:
+                copy_async()
+            row[k] = v
         for k in row:
             if k not in self._fieldnames:
                 self._fieldnames.append(k)
@@ -41,6 +51,10 @@ class MetricsLogger:
             self._wandb.log(metrics, step=step)
 
     def flush(self):
+        for row in self._rows:
+            for k, v in row.items():
+                if not isinstance(v, (int, float, str)):
+                    row[k] = float(v)
         with open(self.path, "w", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=self._fieldnames)
             writer.writeheader()
