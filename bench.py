@@ -5,10 +5,13 @@ forward, FD Darcy residual, data + residual log-likelihood loss, backward
 through everything, Adam + grad clip, EMA — at the reference's batch size 64
 (`/root/reference/main.py:79-83`), plus the residual-evaluation throughput
 and the mechanics study's train-step time (UNet(dim=128), FEM residual,
-batch 6; `/root/reference/main.py:102-109`). Both shipped training paths are
-timed: per-dispatch (one jitted step per host call) and chunked (the drivers'
---chunk-steps lax.scan path, which amortises the per-step RPC latency a
-tunneled/remote TPU pays); the headline value is the better of the two.
+batch 6; `/root/reference/main.py:102-109`). The shipped training
+configurations are timed: per-dispatch (one jitted step per host call) vs
+chunked (the drivers' --chunk-steps lax.scan path, which amortises the
+per-step RPC latency a tunneled/remote TPU pays), each optionally with the
+big-tile attention config (PIDM_ATTN_TILE_CAP, docs/PERF_WALL.md); the
+headline value is the best of them, with `headline_attn_tile_cap`
+recording whether the non-default attention tiling won.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -263,9 +266,72 @@ def run_measurement(args) -> dict:
     jax.block_until_ready(r)
     res_eps = args.batch * reps / (time.perf_counter() - t0) / n_chips
 
-    # headline = the better of the two real training paths (both are shipped
-    # driver modes; chunked is the default recommendation on tunneled chips)
-    best_sps = max(train_sps, train_sps_chunked or 0.0)
+    # big-tile attention config (PIDM_ATTN_TILE_CAP: the finest 64x64 level
+    # runs whole-row — 8x fewer, larger matmuls per kernel phase, see
+    # ops/pallas_attention._choose_tile and docs/PERF_WALL.md). Shipped,
+    # env-selectable config: measured per-dispatch first; if competitive,
+    # the production chunked path too. Failure cannot disturb the headline.
+    sps_bigtile = sps_bigtile_chunked = None
+    if args.attn_tile_cap_exp:
+        try:
+            from physicsinformeddiffusionmodels_tpu.ops import (
+                pallas_attention as _pa,
+            )
+
+            if args.attn_tile_cap_exp != _pa.get_attention_tile_cap():
+                _pa.set_attention_tile_cap(args.attn_tile_cap_exp)
+                try:
+                    estate, estep, *_ = build_darcy(
+                        args.batch, args.pixels, compute_dtype
+                    )
+                    for _ in range(args.warmup):
+                        estate, eaux = estep(estate, x, key)
+                    jax.block_until_ready(eaux.loss)
+                    t0 = time.perf_counter()
+                    for _ in range(args.steps):
+                        estate, eaux = estep(estate, x, key)
+                    jax.block_until_ready(eaux.loss)
+                    sps_bigtile = (
+                        args.batch * args.steps
+                        / (time.perf_counter() - t0) / n_chips
+                    )
+                    if sps_bigtile > 0.98 * train_sps:
+                        from physicsinformeddiffusionmodels_tpu.training import (
+                            make_chunked_resident_step,
+                        )
+
+                        data = jax.random.normal(
+                            jax.random.key(2),
+                            (4 * args.batch, args.pixels, args.pixels, 2),
+                        )
+                        cstate, _, _, eloss_fn, etx = build_darcy(
+                            args.batch, args.pixels, compute_dtype
+                        )
+                        echunked = make_chunked_resident_step(
+                            eloss_fn, etx, args.batch, args.chunk_steps
+                        )
+                        for _ in range(2):
+                            cstate, caux = echunked(cstate, data, key)
+                        jax.block_until_ready(caux.loss)
+                        n_disp = max(2, -(-args.steps // args.chunk_steps))
+                        t0 = time.perf_counter()
+                        for _ in range(n_disp):
+                            cstate, caux = echunked(cstate, data, key)
+                        jax.block_until_ready(caux.loss)
+                        sps_bigtile_chunked = (
+                            args.batch * args.chunk_steps * n_disp
+                            / (time.perf_counter() - t0) / n_chips
+                        )
+                finally:
+                    _pa.set_attention_tile_cap(None)
+        except Exception as e:  # pragma: no cover - defensive
+            bigtile_error = f"{type(e).__name__}: {e}"
+            print(f"bigtile measurement failed: {bigtile_error}", file=sys.stderr)
+
+    # headline = the best shipped training configuration: per-dispatch vs
+    # chunked dispatch, default vs big-tile attention (env-selectable)
+    best_sps = max(train_sps, train_sps_chunked or 0.0,
+                   sps_bigtile or 0.0, sps_bigtile_chunked or 0.0)
     result = {
         "metric": "darcy64_train_samples_per_sec_per_chip",
         "value": round(best_sps, 2),
@@ -273,6 +339,18 @@ def run_measurement(args) -> dict:
         "train_sps_per_dispatch_path": round(train_sps, 2),
         "train_sps_chunked_path": (
             round(train_sps_chunked, 2) if train_sps_chunked else None
+        ),
+        "train_sps_attn_bigtile": (
+            round(sps_bigtile, 2) if sps_bigtile else None
+        ),
+        "train_sps_attn_bigtile_chunked": (
+            round(sps_bigtile_chunked, 2) if sps_bigtile_chunked else None
+        ),
+        "attn_bigtile_cap": args.attn_tile_cap_exp or None,
+        "headline_attn_tile_cap": (
+            args.attn_tile_cap_exp
+            if best_sps in (sps_bigtile, sps_bigtile_chunked)
+            else None  # None = default cap (ops/pallas_attention, 512)
         ),
         "chunk_steps": args.chunk_steps,
         "residual_evals_per_sec_per_chip": round(res_eps, 1),
@@ -336,41 +414,6 @@ def run_measurement(args) -> dict:
                                             warmup=min(3, args.warmup)))
         except Exception as e:  # pragma: no cover - defensive
             result["mech_error"] = f"{type(e).__name__}: {e}"
-
-    # experimental scenario (measured last; failure cannot disturb the
-    # headline): the attention kernels with the token-tile cap raised so the
-    # finest 64x64 level runs whole-row — 8x fewer, larger matmuls per
-    # kernel phase (ops/pallas_attention._choose_tile). Reported as extra
-    # keys; the headline stays on the shipped default until a measured win
-    # flips the default cap.
-    if args.attn_tile_cap_exp:
-        try:
-            from physicsinformeddiffusionmodels_tpu.ops import (
-                pallas_attention as _pa,
-            )
-
-            if args.attn_tile_cap_exp != _pa.get_attention_tile_cap():
-                _pa.set_attention_tile_cap(args.attn_tile_cap_exp)
-                try:
-                    estate, estep, *_ = build_darcy(
-                        args.batch, args.pixels, compute_dtype
-                    )
-                    for _ in range(args.warmup):
-                        estate, eaux = estep(estate, x, key)
-                    jax.block_until_ready(eaux.loss)
-                    t0 = time.perf_counter()
-                    for _ in range(args.steps):
-                        estate, eaux = estep(estate, x, key)
-                    jax.block_until_ready(eaux.loss)
-                    result["train_sps_attn_bigtile"] = round(
-                        args.batch * args.steps
-                        / (time.perf_counter() - t0) / n_chips, 2
-                    )
-                    result["attn_bigtile_cap"] = args.attn_tile_cap_exp
-                finally:
-                    _pa.set_attention_tile_cap(None)
-        except Exception as e:  # pragma: no cover - defensive
-            result["attn_bigtile_error"] = f"{type(e).__name__}: {e}"
 
     return result
 
