@@ -185,6 +185,48 @@ def measure_mechanics(steps: int, warmup: int) -> dict:
     }
 
 
+def _apply_baselines(result: dict, best_sps: float, flops_per_step: float,
+                     batch: int) -> None:
+    """(Re)derive every headline-dependent row from ``best_sps`` — called
+    again if a later-measured configuration upgrades the headline."""
+    sec_per_step = batch / best_sps
+    ref_a100_sps = batch / (flops_per_step / (A100_TF32_PEAK * REF_GRANTED_MFU))
+    result["vs_baseline"] = round(best_sps / ref_a100_sps, 3)
+    result["flops_per_step"] = flops_per_step
+    result["mfu_vs_v5e_bf16_peak"] = round(
+        flops_per_step / sec_per_step / V5E_BF16_PEAK, 4
+    )
+    result["ref_a100_bound_samples_per_sec"] = round(ref_a100_sps, 2)
+    result["baseline_provenance"] = (
+        "XLA-counted flops/step / (A100 TF32 156e12 * 0.40 MFU granted); "
+        "same-silicon torch-vs-jax anchor in BASELINE_MEASURED.json"
+    )
+    # Bracket row: the same FLOP count at a REALISTIC eager-torch MFU
+    # (REF_REALISTIC_MFU above). The 0.40-granted row is a deliberately
+    # unreachable ceiling; this row is the defensible point estimate.
+    ref_real_sps = batch / (flops_per_step / (A100_TF32_PEAK * REF_REALISTIC_MFU))
+    result["vs_baseline_realistic"] = round(best_sps / ref_real_sps, 3)
+    result["ref_a100_realistic_samples_per_sec"] = round(ref_real_sps, 2)
+    result["realistic_provenance"] = (
+        "same FLOPs / (A100 TF32 156e12 * 0.10 eager-torch MFU estimate "
+        "for small-conv UNets; see bench.py REF_REALISTIC_MFU note)"
+    )
+
+
+def _write_cache(result: dict) -> None:
+    """Incremental loss-proofing: persist the partial result after every
+    completed measurement phase. If a later phase (a cold compile over the
+    tunnel) blows the attempt timeout, the orchestrator's cache fallback
+    still emits TODAY's headline instead of a stale round's. CPU smoke runs
+    (JAX_PLATFORMS=cpu --_measure) must never clobber the on-chip cache."""
+    if "cpu" in str(result.get("device", "")).lower():
+        return
+    try:
+        CACHE_PATH.write_text(json.dumps(result, indent=1))
+    except OSError:  # pragma: no cover - defensive
+        pass
+
+
 def run_measurement(args) -> dict:
     from physicsinformeddiffusionmodels_tpu.utils.platform import apply_platform_env
 
@@ -266,72 +308,10 @@ def run_measurement(args) -> dict:
     jax.block_until_ready(r)
     res_eps = args.batch * reps / (time.perf_counter() - t0) / n_chips
 
-    # big-tile attention config (PIDM_ATTN_TILE_CAP: the finest 64x64 level
-    # runs whole-row — 8x fewer, larger matmuls per kernel phase, see
-    # ops/pallas_attention._choose_tile and docs/PERF_WALL.md). Shipped,
-    # env-selectable config: measured per-dispatch first; if competitive,
-    # the production chunked path too. Failure cannot disturb the headline.
+    # headline = the best shipped training configuration measured so far;
+    # upgraded in place if the big-tile attention config (below) wins
     sps_bigtile = sps_bigtile_chunked = None
-    if args.attn_tile_cap_exp:
-        try:
-            from physicsinformeddiffusionmodels_tpu.ops import (
-                pallas_attention as _pa,
-            )
-
-            if args.attn_tile_cap_exp != _pa.get_attention_tile_cap():
-                _pa.set_attention_tile_cap(args.attn_tile_cap_exp)
-                try:
-                    estate, estep, *_ = build_darcy(
-                        args.batch, args.pixels, compute_dtype
-                    )
-                    for _ in range(args.warmup):
-                        estate, eaux = estep(estate, x, key)
-                    jax.block_until_ready(eaux.loss)
-                    t0 = time.perf_counter()
-                    for _ in range(args.steps):
-                        estate, eaux = estep(estate, x, key)
-                    jax.block_until_ready(eaux.loss)
-                    sps_bigtile = (
-                        args.batch * args.steps
-                        / (time.perf_counter() - t0) / n_chips
-                    )
-                    if sps_bigtile > 0.98 * train_sps:
-                        from physicsinformeddiffusionmodels_tpu.training import (
-                            make_chunked_resident_step,
-                        )
-
-                        data = jax.random.normal(
-                            jax.random.key(2),
-                            (4 * args.batch, args.pixels, args.pixels, 2),
-                        )
-                        cstate, _, _, eloss_fn, etx = build_darcy(
-                            args.batch, args.pixels, compute_dtype
-                        )
-                        echunked = make_chunked_resident_step(
-                            eloss_fn, etx, args.batch, args.chunk_steps
-                        )
-                        for _ in range(2):
-                            cstate, caux = echunked(cstate, data, key)
-                        jax.block_until_ready(caux.loss)
-                        n_disp = max(2, -(-args.steps // args.chunk_steps))
-                        t0 = time.perf_counter()
-                        for _ in range(n_disp):
-                            cstate, caux = echunked(cstate, data, key)
-                        jax.block_until_ready(caux.loss)
-                        sps_bigtile_chunked = (
-                            args.batch * args.chunk_steps * n_disp
-                            / (time.perf_counter() - t0) / n_chips
-                        )
-                finally:
-                    _pa.set_attention_tile_cap(None)
-        except Exception as e:  # pragma: no cover - defensive
-            bigtile_error = f"{type(e).__name__}: {e}"
-            print(f"bigtile measurement failed: {bigtile_error}", file=sys.stderr)
-
-    # headline = the best shipped training configuration: per-dispatch vs
-    # chunked dispatch, default vs big-tile attention (env-selectable)
-    best_sps = max(train_sps, train_sps_chunked or 0.0,
-                   sps_bigtile or 0.0, sps_bigtile_chunked or 0.0)
+    best_sps = max(train_sps, train_sps_chunked or 0.0)
     result = {
         "metric": "darcy64_train_samples_per_sec_per_chip",
         "value": round(best_sps, 2),
@@ -366,30 +346,7 @@ def run_measurement(args) -> dict:
 
     # FLOP-derived A100 bound for the torch reference (see module docstring)
     if flops_per_step is not None:
-        sec_per_step = args.batch / best_sps
-        ref_a100_sps = args.batch / (flops_per_step / (A100_TF32_PEAK * REF_GRANTED_MFU))
-        result["vs_baseline"] = round(best_sps / ref_a100_sps, 3)
-        result["flops_per_step"] = flops_per_step
-        result["mfu_vs_v5e_bf16_peak"] = round(
-            flops_per_step / sec_per_step / V5E_BF16_PEAK, 4
-        )
-        result["ref_a100_bound_samples_per_sec"] = round(ref_a100_sps, 2)
-        result["baseline_provenance"] = (
-            "XLA-counted flops/step / (A100 TF32 156e12 * 0.40 MFU granted); "
-            "same-silicon torch-vs-jax anchor in BASELINE_MEASURED.json"
-        )
-        # Bracket row: the same FLOP count at a REALISTIC eager-torch MFU
-        # (REF_REALISTIC_MFU above). The 0.40-granted row is a deliberately
-        # unreachable ceiling; this row is the defensible point estimate.
-        ref_real_sps = args.batch / (
-            flops_per_step / (A100_TF32_PEAK * REF_REALISTIC_MFU)
-        )
-        result["vs_baseline_realistic"] = round(best_sps / ref_real_sps, 3)
-        result["ref_a100_realistic_samples_per_sec"] = round(ref_real_sps, 2)
-        result["realistic_provenance"] = (
-            "same FLOPs / (A100 TF32 156e12 * 0.10 eager-torch MFU estimate "
-            "for small-conv UNets; see bench.py REF_REALISTIC_MFU note)"
-        )
+        _apply_baselines(result, best_sps, flops_per_step, args.batch)
     else:
         # cost analysis unavailable on this backend: fall back to the CPU
         # same-silicon anchor scaled by a documented (generous) CPU->A100
@@ -406,6 +363,8 @@ def run_measurement(args) -> dict:
         except Exception:
             result["vs_baseline"] = None
 
+    _write_cache(result)  # darcy headline is now loss-proof
+
     # mechanics study step time (flagship conditional model); never let a
     # failure here lose the Darcy number
     if not args.skip_mechanics:
@@ -414,6 +373,83 @@ def run_measurement(args) -> dict:
                                             warmup=min(3, args.warmup)))
         except Exception as e:  # pragma: no cover - defensive
             result["mech_error"] = f"{type(e).__name__}: {e}"
+        _write_cache(result)
+
+    # big-tile attention config (PIDM_ATTN_TILE_CAP: the finest 64x64 level
+    # runs whole-row — 8x fewer, larger matmuls per kernel phase, see
+    # ops/pallas_attention._choose_tile and docs/PERF_WALL.md). Shipped,
+    # env-selectable config, measured last (two cold compiles): per-dispatch
+    # first; if competitive, the production chunked path too. A win upgrades
+    # the headline and its derived baseline rows.
+    if args.attn_tile_cap_exp:
+        try:
+            from physicsinformeddiffusionmodels_tpu.ops import (
+                pallas_attention as _pa,
+            )
+
+            if args.attn_tile_cap_exp != _pa.get_attention_tile_cap():
+                _pa.set_attention_tile_cap(args.attn_tile_cap_exp)
+                try:
+                    estate, estep, *_ = build_darcy(
+                        args.batch, args.pixels, compute_dtype
+                    )
+                    for _ in range(args.warmup):
+                        estate, eaux = estep(estate, x, key)
+                    jax.block_until_ready(eaux.loss)
+                    t0 = time.perf_counter()
+                    for _ in range(args.steps):
+                        estate, eaux = estep(estate, x, key)
+                    jax.block_until_ready(eaux.loss)
+                    sps_bigtile = (
+                        args.batch * args.steps
+                        / (time.perf_counter() - t0) / n_chips
+                    )
+                    result["train_sps_attn_bigtile"] = round(sps_bigtile, 2)
+                    _write_cache(result)
+                    if sps_bigtile > 0.98 * train_sps:
+                        from physicsinformeddiffusionmodels_tpu.training import (
+                            make_chunked_resident_step,
+                        )
+
+                        data = jax.random.normal(
+                            jax.random.key(2),
+                            (4 * args.batch, args.pixels, args.pixels, 2),
+                        )
+                        cstate, _, _, eloss_fn, etx = build_darcy(
+                            args.batch, args.pixels, compute_dtype
+                        )
+                        echunked = make_chunked_resident_step(
+                            eloss_fn, etx, args.batch, args.chunk_steps
+                        )
+                        for _ in range(2):
+                            cstate, caux = echunked(cstate, data, key)
+                        jax.block_until_ready(caux.loss)
+                        n_disp = max(2, -(-args.steps // args.chunk_steps))
+                        t0 = time.perf_counter()
+                        for _ in range(n_disp):
+                            cstate, caux = echunked(cstate, data, key)
+                        jax.block_until_ready(caux.loss)
+                        sps_bigtile_chunked = (
+                            args.batch * args.chunk_steps * n_disp
+                            / (time.perf_counter() - t0) / n_chips
+                        )
+                        result["train_sps_attn_bigtile_chunked"] = round(
+                            sps_bigtile_chunked, 2
+                        )
+                finally:
+                    _pa.set_attention_tile_cap(None)
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"bigtile measurement failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+        new_best = max(best_sps, sps_bigtile or 0.0, sps_bigtile_chunked or 0.0)
+        if new_best > best_sps:
+            best_sps = new_best
+            result["value"] = round(best_sps, 2)
+            result["headline_attn_tile_cap"] = args.attn_tile_cap_exp
+            if flops_per_step is not None:
+                _apply_baselines(result, best_sps, flops_per_step, args.batch)
+        _write_cache(result)
 
     return result
 
