@@ -240,6 +240,11 @@ def main():
     ap.add_argument("--m-correction", type=int, default=None)
     ap.add_argument("--n-correction", type=int, default=None)
     ap.add_argument("--guidance-scale", type=float, default=None)
+    ap.add_argument("--compute-dtype", default=None,
+                    choices=["float32", "bfloat16"],
+                    help="override the training compute dtype at sampling "
+                    "time (e.g. fp32 sampling of a bf16-trained model, to "
+                    "separate denoiser drift from sampler rounding noise)")
     ap.add_argument("--dynamic-threshold", default=None, choices=["on", "off"],
                     help="override Imagen-style dynamic thresholding during "
                     "sampling (an inference-time lever against OOD blowups)")
@@ -256,6 +261,8 @@ def main():
         cfg.guidance_scale = args.guidance_scale
     if args.dynamic_threshold is not None:
         cfg.use_dynamic_threshold = args.dynamic_threshold == "on"
+    if args.compute_dtype is not None:
+        cfg.compute_dtype = args.compute_dtype
     out_dir = Path(args.model_dir) / "evaluation"
     i = 1
     while out_dir.exists():
