@@ -257,6 +257,21 @@ def main():
         cfg.M_correction = args.m_correction
     if args.n_correction is not None:
         cfg.N_correction = args.n_correction
+    # CoCoGen residual corrections are a darcy-only feature — in the
+    # reference too: `residual_correction` exists only on ResidualsDarcy
+    # (`residuals_darcy.py:209`); `residuals_mechanics_K.py` has no such
+    # method, so the reference would crash if asked. Refuse to record
+    # correction settings the mechanics sampler will not apply.
+    if cfg.gov_eqs != "darcy" and cfg.correction_mode not in (None, "none"):
+        print(
+            f"WARNING: correction_mode={cfg.correction_mode!r} is darcy-only "
+            "(no residual_correction op for mechanics, matching the "
+            "reference); running UNCORRECTED and recording 'none'.",
+            file=sys.stderr,
+        )
+        cfg.correction_mode = "none"
+        cfg.M_correction = 0
+        cfg.N_correction = 0
     if args.guidance_scale is not None:
         cfg.guidance_scale = args.guidance_scale
     if args.dynamic_threshold is not None:
