@@ -46,10 +46,13 @@ from jax.experimental.pallas import tpu as pltpu
 # Token-tile cap. The kernels loop over [*, tile] slices of the token axis;
 # larger tiles mean fewer, bigger matmuls (better MXU pipelining at the
 # K=C-starved Darcy shapes) at the price of larger VMEM-live intermediates.
-# 512 is the long-validated default; set PIDM_ATTN_TILE_CAP=4096 (or call
-# set_attention_tile_cap) to let a 64x64 level run whole-row. The VMEM
-# guard in _choose_tile bounds the per-tile f32 intermediates regardless.
-_DEFAULT_TILE_CAP = 512
+# Default 4096 (whole-row at the 64x64 levels): measured +4.1% on the
+# Darcy train step and perf-neutral at the mechanics shapes, both
+# compile-validated on a v5e (BENCH_CACHE 2026-08-20,
+# results/profile/mech_bigtile_probe.txt). Set PIDM_ATTN_TILE_CAP=512 to
+# restore the older tiling. The VMEM guard in _choose_tile bounds the
+# per-tile f32 intermediates regardless.
+_DEFAULT_TILE_CAP = 4096
 _TILE_CAP = int(os.environ.get("PIDM_ATTN_TILE_CAP", str(_DEFAULT_TILE_CAP)))
 _TILE_VMEM_BUDGET = 32 * 2**20  # bytes of phase-live f32 intermediates
 

@@ -105,7 +105,13 @@ def test_whole_row_tile_cap():
             )
     finally:
         pa.set_attention_tile_cap(None)
-    assert pa._choose_tile(1024, H, 32) == 512
+    # default cap is 4096 (measured-best config); 512 restores the old tiling
+    assert pa._choose_tile(1024, H, 32) == 1024
+    pa.set_attention_tile_cap(512)
+    try:
+        assert pa._choose_tile(1024, H, 32) == 512
+    finally:
+        pa.set_attention_tile_cap(None)
 
 
 def test_tile_vmem_guard():
