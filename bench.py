@@ -327,6 +327,10 @@ def run_measurement(args) -> dict:
             round(sps_bigtile_chunked, 2) if sps_bigtile_chunked else None
         ),
         "attn_bigtile_cap": args.attn_tile_cap_exp or None,
+        "attn_tile_cap_default": __import__(
+            "physicsinformeddiffusionmodels_tpu.ops.pallas_attention",
+            fromlist=["get_attention_tile_cap"],
+        ).get_attention_tile_cap(),
         "headline_attn_tile_cap": (
             args.attn_tile_cap_exp
             if best_sps in (sps_bigtile, sps_bigtile_chunked)
